@@ -1,0 +1,123 @@
+"""Typed configuration for the whole engine.
+
+The reference hard-codes every constant at the call site
+(``run_odometry_kitti_offline.cpp:35-88`` is its de-facto config block) and
+even inside kernels. Here everything is a frozen dataclass; presets reproduce
+the reference's KITTI configuration bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Rectified stereo camera. Reference: run_odometry_kitti_offline.cpp:38-41."""
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    baseline: float = 386.1448 / 718.856  # meters
+    height: int = 376
+    width: int = 1241
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Pose tracking. Reference: run_odometry_kitti_offline.cpp:75-88."""
+
+    num_levels: int = 4
+    # Per-level max LM iterations, index 0 = finest (level 0).
+    max_iterations: Tuple[int, ...] = (10, 20, 30, 30)
+    lambda_init: float = 0.01
+    precision: float = 0.995
+    robust: str = "huber"  # "none" | "huber" | "tdist"
+    huber_delta: float = 28.0
+    tdist_dof: float = 200.0  # lm_optimizer.cpp:260
+    tdist_sigma_init: float = 5.0  # lm_optimizer.cpp:339
+    boundary: int = 4  # pixels ignored at each border (lm_optimizer.cpp:190-191)
+    min_inv_depth_valid: float = 0.01  # |d| below this is invalid (lm_optimizer.cpp:193)
+    lambda_up: float = 5.0
+    lambda_down: float = 5.0
+    lambda_max: float = 1e5
+    lambda_min: float = 1e-5
+    interp: str = "floor"  # "floor" (reference parity) | "bilinear"
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthConfig:
+    """Stereo depth frontend. Reference: run_odometry_kitti_offline.cpp:56-70."""
+
+    grad_th: float = 8.0
+    ssd_th: float = 900.0
+    photo_th: float = 15.0
+    min_depth: float = 0.1  # meters
+    max_depth: float = 30.0  # meters
+    lambda_init: float = 0.01
+    huber_delta: float = 28.0
+    precision: float = 0.995
+    max_iters: int = 50
+    boundary: int = 4
+    max_residuals: int = 80000
+    # Block grid for adaptive gradient-threshold point selection
+    # (depth_estimate.cpp:300-342).
+    block_rows: int = 16
+    block_cols: int = 32
+    max_points_per_block: int = 80
+    min_valid_points: int = 500  # frame fails below this (depth_estimate.cpp:192)
+    lambda_up: float = 10.0
+    lambda_down: float = 10.0
+    lambda_max: float = 1e5
+    lambda_min: float = 1e-7
+    # Dense search width cap. The reference searches the full epipolar segment
+    # [boundary, x); max_disparity=None reproduces that. A finite cap (e.g. 128)
+    # bounds compute for real-time configs.
+    max_disparity: int | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe promotion policy. Reference: run_odometry_kitti_offline.cpp:144-258."""
+
+    # Weights for [|angX|, |angY|, |angZ|, |tx|, |ty|, |tz|] / 3.3
+    weights: Tuple[float, ...] = (
+        0.1 / 3.3,
+        1.0 / 3.3,
+        0.1 / 3.3,
+        1.0 / 3.3,
+        0.1 / 3.3,
+        1.0 / 3.3,
+    )
+    motion_threshold: float = 1.1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraConfig = CameraConfig()
+    tracker: TrackerConfig = TrackerConfig()
+    depth: DepthConfig = DepthConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+
+
+def kitti_config() -> PipelineConfig:
+    """The exact configuration of the reference KITTI offline driver."""
+    return PipelineConfig()
+
+
+def tum_rgbd_config(fx=525.0, fy=525.0, cx=319.5, cy=239.5) -> PipelineConfig:
+    """TUM RGB-D-shaped preset (sensor-depth tracking path, test_optimizer.cpp)."""
+    return PipelineConfig(
+        camera=CameraConfig(fx=fx, fy=fy, cx=cx, cy=cy, baseline=0.075, height=480, width=640),
+        tracker=TrackerConfig(robust="tdist"),
+    )
+
+
+def fast_config() -> PipelineConfig:
+    """Throughput-oriented preset: bounded disparity search, bilinear sampling."""
+    return PipelineConfig(
+        tracker=TrackerConfig(interp="bilinear"),
+        depth=DepthConfig(max_disparity=192),
+    )

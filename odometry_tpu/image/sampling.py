@@ -1,0 +1,70 @@
+"""Image sampling at scattered coordinates (gathers), jit-safe.
+
+The reference samples the warped image at ``floor`` of the warped coordinate
+with no interpolation (``lm_optimizer.cpp:208-217``, flagged "BUG!!!" in its
+own source). We provide that exact mode for parity plus a bilinear mode as the
+improved default for accuracy-oriented configs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_2d(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
+    """img[yi, xi] for integer index arrays of any (matching) shape.
+
+    Indices must already be in-bounds; use clip_gather_2d otherwise.
+    """
+    h, w = img.shape
+    flat = img.reshape(-1)
+    idx = yi * w + xi
+    return jnp.take(flat, idx.reshape(-1), axis=0).reshape(yi.shape)
+
+
+def clip_gather_2d(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
+    h, w = img.shape
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    return gather_2d(img, yi, xi)
+
+
+def sample_floor(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Sample at (floor(v), floor(u)), clipped to bounds.
+
+    Reference parity mode: ``kImg2.at<float>(floor(v), floor(u))``.
+    """
+    yi = jnp.floor(v).astype(jnp.int32)
+    xi = jnp.floor(u).astype(jnp.int32)
+    return clip_gather_2d(img, yi, xi)
+
+
+def sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Bilinear sample at continuous (u, v), edges clamped."""
+    h, w = img.shape
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    v00 = gather_2d(img, y0i, x0i)
+    v01 = gather_2d(img, y0i, x1i)
+    v10 = gather_2d(img, y1i, x0i)
+    v11 = gather_2d(img, y1i, x1i)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def remap_bilinear(img: jax.Array, map_u: jax.Array, map_v: jax.Array) -> jax.Array:
+    """cv::remap equivalent: dst[y, x] = img(map_v[y,x], map_u[y,x]) bilinear.
+
+    Used to apply precomputed undistort/rectify grids (``camera.cpp:79``).
+    """
+    return sample_bilinear(img, map_u, map_v)
