@@ -45,6 +45,9 @@ class TrackerConfig:
     lambda_max: float = 1e5
     lambda_min: float = 1e-5
     interp: str = "floor"  # "floor" (reference parity) | "bilinear"
+    # Depth-pyramid decimation phase: "odd" reproduces the reference's
+    # image/depth pyramid misalignment (see image/pyramid.py); "even" aligns.
+    depth_decimation: str = "odd"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +79,18 @@ class DepthConfig:
     # [boundary, x); max_disparity=None reproduces that. A finite cap (e.g. 128)
     # bounds compute for real-time configs.
     max_disparity: int | None = None
+    # Refinement warp sampling: "floor" = reference parity (integer warp,
+    # +-0.5 px systematic bias); "bilinear" = true sub-pixel refinement.
+    interp: str = "floor"
+    # Beyond-reference: left-right cycle-consistency check on the SSD winner
+    # (nearly free in the cost-matrix formulation; kills accidental matches).
+    lr_check: bool = False
+    lr_tol: int = 1
+    # Beyond-reference: restrict the search to the disparity band implied by
+    # [min_depth, max_depth] instead of only culling by range after refinement
+    # (depth_estimate.cpp:183) — same effect, applied where it also prevents
+    # accidental matches and saves compute.
+    range_limited_search: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,9 +130,23 @@ def tum_rgbd_config(fx=525.0, fy=525.0, cx=319.5, cy=239.5) -> PipelineConfig:
     )
 
 
-def fast_config() -> PipelineConfig:
-    """Throughput-oriented preset: bounded disparity search, bilinear sampling."""
+def accurate_config() -> PipelineConfig:
+    """Improved-accuracy preset: sub-pixel warps + aligned depth pyramids.
+
+    Fixes the reference's floor-sampling quantization (tracker + depth
+    refinement) and the odd/even pyramid misalignment; everything else stays
+    at the reference's tuning.
+    """
     return PipelineConfig(
-        tracker=TrackerConfig(interp="bilinear"),
-        depth=DepthConfig(max_disparity=192),
+        tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
+        depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True),
+    )
+
+
+def fast_config() -> PipelineConfig:
+    """Throughput-oriented preset: bounded disparity search + improved warps."""
+    return PipelineConfig(
+        tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
+        depth=DepthConfig(max_disparity=192, interp="bilinear", lr_check=True,
+                          range_limited_search=True),
     )

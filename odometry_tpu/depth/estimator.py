@@ -1,0 +1,219 @@
+"""Stereo semi-dense inverse-depth frontend: select -> match -> refine -> filter.
+
+TPU-native equivalent of ``DepthEstimator`` (``src/depth_estimate.cpp``):
+
+  1. 3x3 Gaussian blur of both rectified images (``:256-257``),
+  2. blockwise adaptive gradient selection  (kernels/select.py),
+  3. full epipolar SSD disparity search      (kernels/disparity.py),
+  4. per-pixel scalar inverse-depth LM refinement — the reference's
+     ``DepthOptimization`` (``:80-198``) where every pixel's depth is
+     independent, so J^T W J is diagonal and the whole LM loop is dense
+     element-wise math under a ``lax.while_loop``,
+  5. photometric + depth-range filtering with a minimum-survivor guard
+     (``:176-197``).
+
+Everything is fixed-shape masked math: the reference's gathered point list
+becomes the (H, W) selection mask itself.
+
+Known deviation (guarded reference bug): the reference zeroes J and b for
+points whose warp leaves the image but then computes delta = b / (A=0) -> NaN
+which silently poisons those points (``depth_estimate.cpp:217-224,164-166``).
+We define delta = 0 there instead; such points keep their depth and are still
+culled by the -1000 sentinel at filter time, which is the evident intent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.config import CameraConfig, DepthConfig
+from odometry_tpu.image.pyramid import gaussian_blur3
+from odometry_tpu.image.sampling import clip_gather_2d
+from odometry_tpu.kernels.disparity import disparity_search
+from odometry_tpu.kernels.select import select_points
+
+_SENTINEL = -1000.0  # depth_estimate.cpp:221
+
+
+class DepthResult(NamedTuple):
+    valid: jax.Array  # (H, W) bool final validity mask
+    disparity: jax.Array  # (H, W) raw search disparity (pixels)
+    inv_depth: jax.Array  # (H, W) refined inverse depth (1/m), 0 where invalid
+    ok: jax.Array  # bool: >= min_valid_points survivors (frame status)
+    num_valid: jax.Array  # int survivors
+    iters: jax.Array  # refinement LM iterations run
+    cost: jax.Array  # final refinement cost
+
+
+class _RefineCarry(NamedTuple):
+    tmp: jax.Array  # attempted inverse-depth map
+    current: jax.Array  # best-so-far
+    pre: jax.Array  # previous best
+    resid: jax.Array  # |r| map from the LAST evaluation (sentinel where OOB)
+    err_last: jax.Array
+    err_now: jax.Array
+    lam: jax.Array
+    it: jax.Array
+    active: jax.Array
+
+
+def _eval_system(
+    d: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    mask: jax.Array,
+    tx_fx: float,
+    huber_delta: float,
+    interp: str = "floor",
+):
+    """Reference ``ComputeResidualJacobian`` (depth_estimate.cpp:200-242), dense.
+
+    interp="floor" is the reference's integer warp; "bilinear" samples the
+    right image at the true sub-pixel warp (improved mode).
+    """
+    H, W = left.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    warped_xf = xs - tx_fx * d
+    warped_x = jnp.floor(warped_xf).astype(jnp.int32)
+    in_bounds = (warped_x >= 2) & (warped_x <= W - 2) & mask
+
+    wx = jnp.clip(warped_x, 1, W - 2)
+    if interp == "floor":
+        r = left - clip_gather_2d(right, ys, wx)
+        g = tx_fx * 0.5 * (clip_gather_2d(right, ys, wx + 1) - clip_gather_2d(right, ys, wx - 1))
+    elif interp == "bilinear":
+        from odometry_tpu.image.sampling import sample_bilinear
+
+        uw = jnp.clip(warped_xf, 1.0, jnp.float32(W - 2))
+        yf = ys.astype(jnp.float32)
+        r = left - sample_bilinear(right, uw, yf)
+        g = tx_fx * 0.5 * (
+            sample_bilinear(right, uw + 1.0, yf) - sample_bilinear(right, uw - 1.0, yf)
+        )
+    else:
+        raise ValueError(f"unknown interp mode {interp!r}")
+    w = jnp.where(jnp.abs(r) <= huber_delta, 1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
+
+    ibf = in_bounds.astype(jnp.float32)
+    jtwj = g * g * w * ibf
+    b = -g * w * r * ibf
+    resid = jnp.where(in_bounds, jnp.abs(r), jnp.float32(_SENTINEL))
+    n_act = jnp.sum(ibf)
+    err = jnp.where(n_act > 0, jnp.sum(r * r * w * ibf) / jnp.maximum(n_act, 1.0), jnp.float32(jnp.inf))
+    return jtwj, b, resid, err
+
+
+def refine_depth(
+    left: jax.Array,
+    right: jax.Array,
+    inv_depth0: jax.Array,
+    mask: jax.Array,
+    cam: CameraConfig,
+    cfg: DepthConfig,
+):
+    """Diagonal per-pixel inverse-depth LM (``DepthOptimization``, :141-168)."""
+    tx_fx = cam.baseline * cam.fx
+
+    def cond(c: _RefineCarry):
+        return c.active & (c.it < cfg.max_iters)
+
+    def body(c: _RefineCarry):
+        jtwj, b, resid, err_now = _eval_system(
+            c.tmp, left, right, mask, tx_fx, cfg.huber_delta, cfg.interp
+        )
+        bad = err_now > c.err_last
+        lam_up = c.lam * cfg.lambda_up
+        lam_down = jnp.maximum(c.lam / cfg.lambda_down, cfg.lambda_min)
+        lam_new = jnp.where(bad, lam_up, lam_down)
+        break_bad = bad & (lam_up > cfg.lambda_max)
+        current = jnp.where(bad, c.pre, c.tmp)
+        pre = current
+        break_good = (~bad) & (err_now / c.err_last > cfg.precision)
+        err_last = jnp.where(bad, c.err_last, err_now)
+        active = ~(break_bad | break_good)
+
+        # A is diagonal: delta_i = b_i / (jtwj_i * (1 + lambda)); guarded where
+        # jtwj == 0 (see module docstring).
+        denom = jtwj * (1.0 + lam_new)
+        delta = jnp.where(denom > 0, b / jnp.where(denom > 0, denom, 1.0), 0.0)
+        tmp = current + delta
+        return _RefineCarry(tmp, current, pre, resid, err_last, err_now, lam_new, c.it + 1, active)
+
+    f32 = jnp.float32
+    H, W = left.shape
+    init = _RefineCarry(
+        tmp=inv_depth0,
+        current=inv_depth0,
+        pre=inv_depth0,
+        resid=jnp.zeros((H, W), f32),
+        err_last=jnp.asarray(1e10, f32),
+        err_now=jnp.asarray(0.0, f32),
+        lam=jnp.asarray(cfg.lambda_init, f32),
+        it=jnp.asarray(0, jnp.int32),
+        active=jnp.asarray(True),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.current, out.resid, out.it, out.err_now
+
+
+def compute_depth(
+    left: jax.Array,
+    right: jax.Array,
+    cam: CameraConfig,
+    cfg: DepthConfig,
+) -> DepthResult:
+    """Full frontend — equivalent of ``DepthEstimator::ComputeDepth`` (:33-78)."""
+    left_s = gaussian_blur3(left)
+    right_s = gaussian_blur3(right)
+
+    sel = select_points(
+        left_s,
+        boundary=cfg.boundary,
+        block_rows=cfg.block_rows,
+        block_cols=cfg.block_cols,
+        grad_th=cfg.grad_th,
+        max_points_per_block=cfg.max_points_per_block,
+    )
+
+    max_disp = cfg.max_disparity
+    min_disp = None
+    if cfg.range_limited_search:
+        band_max = int(cam.fx * cam.baseline / cfg.min_depth) + 1
+        max_disp = band_max if max_disp is None else min(max_disp, band_max)
+        min_disp = max(1, int(cam.fx * cam.baseline / cfg.max_depth))
+    disp = disparity_search(
+        left_s,
+        right_s,
+        sel,
+        fx=cam.fx,
+        baseline=cam.baseline,
+        boundary=cfg.boundary,
+        ssd_th=cfg.ssd_th,
+        max_disparity=max_disp,
+        min_disparity=min_disp,
+        lr_check=cfg.lr_check,
+        lr_tol=cfg.lr_tol,
+    )
+
+    # The reference keeps val=1 for selected pixels whose SSD failed; they
+    # enter refinement with inverse depth 0 (depth_estimate.cpp:388-395 with
+    # left_dep initialised to zero by the driver).
+    refined, resid, iters, cost = refine_depth(
+        left, right, disp.inv_depth, sel, cam, cfg
+    )
+
+    # Writeback + filtering (depth_estimate.cpp:176-197).
+    photo_bad = (resid > cfg.photo_th) | (resid == _SENTINEL)
+    safe = jnp.where(refined != 0, refined, jnp.inf)
+    depth = 1.0 / safe
+    range_bad = (depth > cfg.max_depth) | (depth < cfg.min_depth)
+    valid = sel & ~photo_bad & ~range_bad
+    inv_depth = jnp.where(valid, refined, 0.0)
+
+    num_valid = jnp.sum(valid)
+    ok = num_valid >= cfg.min_valid_points
+    return DepthResult(valid, disp.disparity, inv_depth, ok, num_valid, iters, cost)

@@ -92,14 +92,25 @@ def gaussian_image_pyramid(
 
 
 def depth_pyramid(
-    dep: jax.Array, num_levels: int, smooth: bool = False
+    dep: jax.Array, num_levels: int, smooth: bool = False, indexing: str = "odd"
 ) -> Tuple[jax.Array, ...]:
-    """The reference's ``MedianDepthPyramidNaive``: odd-index decimation."""
+    """The reference's ``MedianDepthPyramidNaive``: decimation, no averaging.
+
+    indexing="odd" reproduces the reference exactly (``out[l](y,x) =
+    out[l-1](2y+1, 2x+1)``, image_processing_global.cpp:85-103). NOTE this is
+    misaligned with the image pyramid, whose pyrDown samples EVEN indices: at
+    level l the depth stored at pixel x belongs to image pixel x*2^l + 2^l - 1,
+    a (2^l - 1)-pixel offset that degrades sparse-depth tracking at coarse
+    levels. indexing="even" is the corrected aligned mode.
+    """
+    if indexing not in ("odd", "even"):
+        raise ValueError(f"bad indexing mode {indexing!r}")
+    off = 1 if indexing == "odd" else 0
     levels = [median_blur3(dep) if smooth else dep]
     for _ in range(1, num_levels):
         prev = levels[-1]
         oh, ow = prev.shape[0] // 2, prev.shape[1] // 2
-        levels.append(prev[1::2, 1::2][:oh, :ow])
+        levels.append(prev[off::2, off::2][:oh, :ow])
     return tuple(levels)
 
 

@@ -1,0 +1,70 @@
+"""Blockwise adaptive gradient-threshold point selection.
+
+Vectorizes the reference's selection pass (``depth_estimate.cpp:300-342``):
+the image interior is tiled into a block_rows x block_cols grid; per block the
+median gradient magnitude (via ``nth_element``) plus ``grad_th`` forms an
+adaptive threshold, and at most ``max_points_per_block`` pixels above it are
+kept **in row-major scan order** (the reference breaks out of its scan loop at
+80). Scan-order capping becomes a per-block cumulative sum over the flattened
+block.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.image.pyramid import central_gradients
+
+
+def select_points(
+    img: jax.Array,
+    *,
+    boundary: int = 4,
+    block_rows: int = 16,
+    block_cols: int = 32,
+    grad_th: float = 8.0,
+    max_points_per_block: int = 80,
+) -> jax.Array:
+    """Return a (H, W) bool mask of selected high-gradient pixels.
+
+    `img` should already be 3x3-Gaussian-blurred (the reference blurs before
+    selecting, ``depth_estimate.cpp:256``).
+    """
+    H, W = img.shape
+    bh = (H - 2 * boundary) // block_rows
+    bw = (W - 2 * boundary) // block_cols
+    if bh < 1 or bw < 1:
+        raise ValueError("image too small for the requested block grid")
+
+    gx, gy = central_gradients(img)
+    grad = jnp.sqrt(gx * gx + gy * gy)
+
+    # The covered region starts at the boundary; trailing pixels that do not
+    # fill a whole block are never selected (reference quirk: 16*23 x 32*38
+    # covers [4,372)x[4,1220) of KITTI frames).
+    region = jax.lax.dynamic_slice(
+        grad, (boundary, boundary), (block_rows * bh, block_cols * bw)
+    )
+    blocks = region.reshape(block_rows, bh, block_cols, bw)
+    blocks = blocks.transpose(0, 2, 1, 3).reshape(block_rows * block_cols, bh * bw)
+
+    # nth_element(begin, begin + size/2, end) -> the (size//2)-th smallest
+    # (depth_estimate.cpp:328-329).
+    sorted_blocks = jnp.sort(blocks, axis=1)
+    median = sorted_blocks[:, (bh * bw) // 2]
+    th = median + jnp.float32(grad_th)
+
+    above = blocks > th[:, None]
+    # Scan-order cap: keep only the first max_points_per_block hits per block.
+    order = jnp.cumsum(above.astype(jnp.int32), axis=1)
+    keep = above & (order <= max_points_per_block)
+
+    keep_img = (
+        keep.reshape(block_rows, block_cols, bh, bw)
+        .transpose(0, 2, 1, 3)
+        .reshape(block_rows * bh, block_cols * bw)
+    )
+    mask = jnp.zeros((H, W), dtype=bool)
+    mask = jax.lax.dynamic_update_slice(mask, keep_img, (boundary, boundary))
+    return mask

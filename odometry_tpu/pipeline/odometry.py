@@ -1,0 +1,170 @@
+"""The jittable odometry pipeline: init + per-frame step with keyframe policy.
+
+Re-expression of the reference KITTI driver's frame loop
+(``run_odometry_kitti_offline.cpp:94-271``) as pure functions over a
+fixed-shape state pytree, so the entire per-frame computation is ONE jitted
+call (host code does IO only):
+
+  state = init(left0, right0, ...)
+  state, out = step(state, left, right)   # jit, TPU-resident
+
+Faithful reference semantics:
+* pose is tracked frame-to-KEYFRAME and chained through the keyframe absolute
+  pose: ``cur = kf_pose @ inverse(pose_to_kf)`` (``:215-218``),
+* depth is recomputed every frame (``:229``) and the current frame's pyramids
+  replace the "previous" ones every frame (``:249-252``),
+* keyframe promotion when the weighted motion magnitude
+  ``[|angX|,|angY|,|angZ|,|tx|,|ty|,|tz|] . w > 1.1`` (``:254-258``) — the
+  promoted keyframe is the CURRENT frame (pyramids just built),
+* the tracker is warm-started with the last pose_to_keyframe in BOTH branches
+  (``Reset(pose_to_keyframe, 0.01)`` at ``:261`` and ``:268``) — including
+  right after promotion, a reference quirk we reproduce,
+* a failed depth frame (too few survivors) leaves the keyframe unchanged; the
+  host runner decides whether to stop (the reference breaks the loop, ``:230``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.camera.pinhole import Pinhole
+from odometry_tpu.config import PipelineConfig
+from odometry_tpu.depth.estimator import compute_depth
+from odometry_tpu.geometry import (
+    rotation_angles_xyz,
+    se3_compose,
+    se3_identity,
+    se3_inverse,
+)
+from odometry_tpu.image.pyramid import depth_pyramid, gaussian_image_pyramid
+from odometry_tpu.tracking.tracker import solve_pose, TrackResult
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OdometryState:
+    """Everything carried frame to frame. Fixed shapes; jit-friendly."""
+
+    kf_pyr: Tuple[jax.Array, ...]  # keyframe image pyramid (level 0 first)
+    kf_dpyr: Tuple[jax.Array, ...]  # keyframe inverse-depth pyramid
+    kf_valid: jax.Array  # (H, W) keyframe depth validity mask
+    kf_pose: jax.Array  # (4, 4) keyframe absolute pose (cam-to-world)
+    pose_init: jax.Array  # (4, 4) tracker warm start (reference affine_init_)
+    cur_pose: jax.Array  # (4, 4) current absolute pose
+    frame_id: jax.Array  # int32
+    kf_count: jax.Array  # int32 number of keyframes so far
+    healthy: jax.Array  # bool: last depth frame succeeded
+
+
+class StepOutput(NamedTuple):
+    cur_pose: jax.Array  # (4, 4) absolute pose of this frame
+    pose_to_kf: jax.Array  # (4, 4) tracker output (kf-cam -> cur-cam)
+    promoted: jax.Array  # bool: this frame became the new keyframe
+    motion: jax.Array  # weighted motion magnitude
+    track_ok: jax.Array  # bool
+    depth_ok: jax.Array  # bool
+    num_valid_depth: jax.Array  # int32
+    track_stats: tuple  # per-level LevelStats (coarsest first)
+
+
+def _cam(cfg: PipelineConfig) -> Pinhole:
+    c = cfg.camera
+    return Pinhole.create(c.fx, c.fy, c.cx, c.cy)
+
+
+def init(
+    left: jax.Array,
+    right: jax.Array,
+    cfg: PipelineConfig,
+    init_pose: jax.Array | None = None,
+) -> tuple[OdometryState, jax.Array]:
+    """Initialize from frame 0 (``run_odometry_kitti_offline.cpp:94-147``).
+
+    Returns (state, depth_ok). The reference exits if frame-0 depth fails.
+    """
+    n = cfg.tracker.num_levels
+    dres = compute_depth(left, right, cfg.camera, cfg.depth)
+    pyr = gaussian_image_pyramid(left, n, smooth=True)
+    dpyr = depth_pyramid(dres.inv_depth, n, smooth=False,
+                         indexing=cfg.tracker.depth_decimation)
+    pose0 = init_pose if init_pose is not None else se3_identity()
+    state = OdometryState(
+        kf_pyr=pyr,
+        kf_dpyr=dpyr,
+        kf_valid=dres.valid,
+        kf_pose=pose0,
+        pose_init=se3_identity(),
+        cur_pose=pose0,
+        frame_id=jnp.asarray(0, jnp.int32),
+        kf_count=jnp.asarray(1, jnp.int32),
+        healthy=dres.ok,
+    )
+    return state, dres.ok
+
+
+def step(
+    state: OdometryState,
+    left: jax.Array,
+    right: jax.Array,
+    cfg: PipelineConfig,
+) -> tuple[OdometryState, StepOutput]:
+    """One full odometry frame (``run_odometry_kitti_offline.cpp:198-271``)."""
+    n = cfg.tracker.num_levels
+    cam = _cam(cfg)
+
+    pyr_cur = gaussian_image_pyramid(left, n, smooth=True)
+    track: TrackResult = solve_pose(
+        state.kf_pyr, state.kf_dpyr, pyr_cur, cam, cfg.tracker, state.pose_init
+    )
+    cur_pose = se3_compose(state.kf_pose, se3_inverse(track.T))
+
+    dres = compute_depth(left, right, cfg.camera, cfg.depth)
+    dpyr_cur = depth_pyramid(dres.inv_depth, n, smooth=False,
+                             indexing=cfg.tracker.depth_decimation)
+
+    # Keyframe criterion (``:254-258``): per-axis rotation angles of the
+    # RELATIVE pose + absolute translation components, weighted.
+    angles = jnp.abs(rotation_angles_xyz(track.T[:3, :3]))
+    trans = jnp.abs(track.T[:3, 3])
+    motion = jnp.concatenate([jnp.stack([angles[0], trans[0]]),
+                              jnp.stack([angles[1], trans[1]]),
+                              jnp.stack([angles[2], trans[2]])])
+    # Reference ordering: [angX, angY, angZ, tx, ty, tz]
+    motion_vec = jnp.stack([angles[0], angles[1], angles[2], trans[0], trans[1], trans[2]])
+    weights = jnp.asarray(cfg.keyframe.weights, jnp.float32)
+    motion_mag = jnp.dot(motion_vec, weights)
+
+    promote = (motion_mag > cfg.keyframe.motion_threshold) & dres.ok
+
+    def sel(new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(promote, a, b), new, old
+        )
+
+    new_state = OdometryState(
+        kf_pyr=sel(pyr_cur, state.kf_pyr),
+        kf_dpyr=sel(dpyr_cur, state.kf_dpyr),
+        kf_valid=sel(dres.valid, state.kf_valid),
+        kf_pose=sel(cur_pose, state.kf_pose),
+        # Both branches warm-start with pose_to_keyframe (:261, :268).
+        pose_init=track.T,
+        cur_pose=cur_pose,
+        frame_id=state.frame_id + 1,
+        kf_count=state.kf_count + promote.astype(jnp.int32),
+        healthy=dres.ok,
+    )
+    out = StepOutput(
+        cur_pose=cur_pose,
+        pose_to_kf=track.T,
+        promoted=promote,
+        motion=motion_mag,
+        track_ok=track.ok,
+        depth_ok=dres.ok,
+        num_valid_depth=dres.num_valid,
+        track_stats=track.stats,
+    )
+    return new_state, out

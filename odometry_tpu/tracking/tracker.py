@@ -1,0 +1,193 @@
+"""Coarse-to-fine direct photometric SE(3) tracker (Levenberg-Marquardt).
+
+TPU-native re-expression of ``LevenbergMarquardtOptimizer``
+(``lm_optimizer.cpp:54-160``): the per-level LM loop becomes a
+``lax.while_loop`` with a pose-matrix carry, levels are unrolled in Python
+(each level has a different static shape), and the accept/reject lambda
+schedule reproduces the reference exactly:
+
+* err_now > err_last  ->  lambda *= 5, bail out when lambda would exceed 1e5,
+  roll back to the last good pose (``lm_optimizer.cpp:131-135``)
+* else                ->  accept, stop when err_now/err_last > precision,
+  lambda = max(lambda/5, 1e-5) (``lm_optimizer.cpp:136-143``)
+* always (even after a rejected step, faithfully to the reference): solve
+  (JtWJ + lambda diag(JtWJ)) delta = -JtWr  and retry from
+  exp(delta) @ current (``lm_optimizer.cpp:145-153``).
+
+A frame whose linearization ever produces zero valid residuals marks the solve
+failed, and like the reference's ``Solve`` (``lm_optimizer.cpp:60-65``) the
+tracker then returns identity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.camera.pinhole import Pinhole, intrinsic_pyramid
+from odometry_tpu.config import TrackerConfig
+from odometry_tpu.geometry import se3_exp, se3_compose, se3_identity
+from odometry_tpu.kernels.photometric import residual_jacobian, normal_equations
+from odometry_tpu.solvers.robust import robust_weights
+
+
+class LevelStats(NamedTuple):
+    iters: jax.Array  # int32: LM iterations run
+    err_first: jax.Array  # cost at first evaluation
+    err_final: jax.Array  # final accepted cost
+
+
+class TrackResult(NamedTuple):
+    T: jax.Array  # (4, 4) keyframe-cam -> current-cam
+    ok: jax.Array  # bool: False == reference's "Optimize failed" identity path
+    stats: Tuple[LevelStats, ...]  # per level, coarsest first
+
+
+class _Carry(NamedTuple):
+    inc: jax.Array
+    current: jax.Array
+    last: jax.Array
+    err_last: jax.Array
+    err_first: jax.Array
+    err_final: jax.Array
+    lam: jax.Array
+    it: jax.Array
+    active: jax.Array
+    failed: jax.Array
+
+
+def _solve_level(
+    img_kf: jax.Array,
+    dep_kf: jax.Array,
+    img_cur: jax.Array,
+    cam_l: Pinhole,
+    T_init: jax.Array,
+    max_iters: int,
+    cfg: TrackerConfig,
+):
+    def system(T):
+        sys = residual_jacobian(
+            img_kf,
+            dep_kf,
+            img_cur,
+            cam_l,
+            T,
+            boundary=cfg.boundary,
+            min_inv_depth=cfg.min_inv_depth_valid,
+            interp=cfg.interp,
+        )
+        w = robust_weights(
+            cfg.robust,
+            sys.r,
+            sys.valid,
+            huber_delta=cfg.huber_delta,
+            tdist_dof=cfg.tdist_dof,
+            tdist_sigma_init=cfg.tdist_sigma_init,
+        )
+        return normal_equations(sys, w)
+
+    def cond(c: _Carry):
+        return c.active & (c.it < max_iters)
+
+    def body(c: _Carry):
+        eqs = system(c.inc)
+        no_residuals = eqs.num_valid == 0
+        err_now = eqs.err
+
+        bad = err_now > c.err_last
+        # Reference schedule: lambda*5 on reject (bail if > 1e5), /5 floor 1e-5
+        # on accept (lm_optimizer.cpp:133-142).
+        lam_up = c.lam * cfg.lambda_up
+        lam_down = jnp.maximum(c.lam / cfg.lambda_down, cfg.lambda_min)
+        lam_new = jnp.where(bad, lam_up, lam_down)
+        break_bad = bad & (lam_up > cfg.lambda_max)
+        current = jnp.where(bad, c.last, c.inc)
+        last = current
+        err_rel = err_now / c.err_last
+        break_good = (~bad) & (err_rel > cfg.precision)
+        err_last = jnp.where(bad, c.err_last, err_now)
+
+        err_first = jnp.where(c.it == 0, err_now, c.err_first)
+        err_final = jnp.where(bad, c.err_final, err_now)
+        active = ~(break_bad | break_good | no_residuals)
+
+        # Marquardt-damped 6x6 solve. Guarded so a singular/empty system cannot
+        # inject NaN into the pose carry even on the final (discarded) step.
+        A = eqs.JtWJ + lam_new * jnp.diag(jnp.diag(eqs.JtWJ))
+        A = A + (1e-12) * jnp.eye(6, dtype=A.dtype)
+        delta = jnp.linalg.solve(A, -eqs.JtWr)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        inc = se3_compose(se3_exp(delta), current)
+
+        return _Carry(
+            inc=inc,
+            current=current,
+            last=last,
+            err_last=err_last,
+            err_first=err_first,
+            err_final=err_final,
+            lam=lam_new,
+            it=c.it + 1,
+            active=active,
+            failed=c.failed | no_residuals,
+        )
+
+    f32 = jnp.float32
+    init = _Carry(
+        inc=T_init,
+        current=T_init,
+        last=T_init,
+        err_last=jnp.asarray(1e10, f32),
+        err_first=jnp.asarray(0.0, f32),
+        err_final=jnp.asarray(0.0, f32),
+        lam=jnp.asarray(cfg.lambda_init, f32),
+        it=jnp.asarray(0, jnp.int32),
+        active=jnp.asarray(True),
+        failed=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    stats = LevelStats(out.it, out.err_first, out.err_final)
+    return out.current, out.failed, stats
+
+
+def solve_pose(
+    pyr_kf: Sequence[jax.Array],
+    dpyr_kf: Sequence[jax.Array],
+    pyr_cur: Sequence[jax.Array],
+    cam: Pinhole,
+    cfg: TrackerConfig,
+    T_init: jax.Array | None = None,
+) -> TrackResult:
+    """Track the current frame against a keyframe, coarsest level first.
+
+    Equivalent of ``LevenbergMarquardtOptimizer::Solve``
+    (``lm_optimizer.cpp:54-69`` + ``OptimizeCameraPose :73-160``).
+
+    Args:
+      pyr_kf / dpyr_kf: keyframe image / inverse-depth pyramids (level 0 first).
+      pyr_cur: current frame image pyramid.
+      cam: level-0 intrinsics; per-level intrinsics derived internally.
+      T_init: warm-start pose (the reference's ``affine_init_``).
+    """
+    num_levels = cfg.num_levels
+    cams = intrinsic_pyramid(cam, num_levels)
+    T = T_init if T_init is not None else se3_identity()
+    failed = jnp.asarray(False)
+    stats = []
+    for l in range(num_levels - 1, -1, -1):
+        T, failed_l, st = _solve_level(
+            pyr_kf[l],
+            dpyr_kf[l],
+            pyr_cur[l],
+            cams[l],
+            T,
+            cfg.max_iterations[l],
+            cfg,
+        )
+        failed = failed | failed_l
+        stats.append(st)
+    ok = ~failed
+    T_out = jnp.where(ok, T, se3_identity(dtype=T.dtype))
+    return TrackResult(T_out, ok, tuple(stats))

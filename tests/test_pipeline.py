@@ -1,0 +1,131 @@
+"""End-to-end pipeline tests on a synthetic stereo sequence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from odometry_tpu.camera import Pinhole
+from odometry_tpu.config import (
+    CameraConfig,
+    DepthConfig,
+    KeyframeConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from odometry_tpu.data.synthetic import (
+    make_scene,
+    drive_trajectory,
+    stereo_sequence,
+)
+from odometry_tpu.eval.metrics import mean_translation_error, ate_rmse, rpe
+from odometry_tpu.pipeline.odometry import init, step
+from odometry_tpu.pipeline.runner import run_sequence
+
+H, W = 96, 160
+CFG = PipelineConfig(
+    camera=CameraConfig(fx=240.0, fy=240.0, cx=W / 2.0, cy=H / 2.0, height=H, width=W),
+    # 3 levels: at 96x160 the semi-dense depth decimates to too few points for
+    # a stable 6-DOF solve at a 4th level (KITTI-size frames use 4). Improved
+    # modes (bilinear warps + aligned decimation): the reference's stacked
+    # floor/misalignment quirks are exercised by kernel-level golden tests;
+    # end-to-end accuracy assertions need the well-posed configuration.
+    tracker=TrackerConfig(interp="bilinear", num_levels=3, max_iterations=(10, 20, 30),
+                          depth_decimation="even"),
+    depth=DepthConfig(block_rows=8, block_cols=16, min_valid_points=30,
+                      interp="bilinear"),
+    # Small image + small motions: lower the promotion threshold so the test
+    # sequence actually creates keyframes.
+    keyframe=KeyframeConfig(motion_threshold=0.2),
+)
+CAM = Pinhole.create(240.0, 240.0, W / 2.0, H / 2.0)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    scene = make_scene(11, depth=12.0)
+    poses = drive_trajectory(12, step=0.25, seed=2)
+    frames = list(
+        stereo_sequence(scene, CAM, CFG.camera.baseline, poses, H, W)
+    )
+    return scene, poses, frames
+
+
+def test_init_and_single_step(sequence):
+    _, poses, frames = sequence
+    state, ok = init(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), CFG)
+    assert bool(ok)
+    assert int(state.kf_count) == 1
+    state2, out = step(state, jnp.asarray(frames[1][0]), jnp.asarray(frames[1][1]), CFG)
+    assert bool(out.track_ok) and bool(out.depth_ok)
+    # Recovered relative motion ~ GT (frame 1 vs 0).
+    gt_rel = np.linalg.inv(poses[1]) @ poses[0]  # kf-cam -> cur-cam
+    t_err = np.linalg.norm(np.asarray(out.pose_to_kf)[:3, 3] - gt_rel[:3, 3])
+    assert t_err < 0.05
+    assert int(state2.frame_id) == 1
+
+
+def test_run_sequence_trajectory(sequence):
+    _, poses, frames = sequence
+    res = run_sequence(frames, CFG)
+    assert res.failed_at is None
+    assert res.num_frames == len(frames)
+    # Unaligned mean translation error (the reference's eval_pose metric).
+    mte = mean_translation_error(poses[: res.num_frames], res.poses)
+    total_dist = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1).sum()
+    assert mte < 0.05 * max(total_dist, 1.0), (mte, total_dist)
+    # Standard aligned ATE is small too.
+    assert ate_rmse(poses[: res.num_frames], res.poses) < 0.1
+    # Keyframes were promoted along the way (motion th 0.2, step 0.25/3.3).
+    assert len(res.keyframe_ids) >= 2
+
+
+def test_step_jit_cache_stable(sequence):
+    # One compiled step object serves every frame (shapes static).
+    _, _, frames = sequence
+    jit_step = jax.jit(lambda s, l, r: step(s, l, r, CFG))
+    state, ok = jax.jit(lambda l, r: init(l, r, CFG, None))(
+        jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1])
+    )
+    for (l, r) in frames[1:4]:
+        state, out = jit_step(state, jnp.asarray(l), jnp.asarray(r))
+    assert jit_step._cache_size() == 1
+
+
+def test_keyframe_promotion_updates_state(sequence):
+    _, _, frames = sequence
+    # Force promotion every frame with a tiny threshold.
+    cfg = PipelineConfig(
+        camera=CFG.camera, tracker=CFG.tracker, depth=CFG.depth,
+        keyframe=KeyframeConfig(motion_threshold=1e-6),
+    )
+    state, _ = init(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg)
+    kf_img_before = np.asarray(state.kf_pyr[0])
+    state, out = step(state, jnp.asarray(frames[3][0]), jnp.asarray(frames[3][1]), cfg)
+    assert bool(out.promoted)
+    assert int(state.kf_count) == 2
+    # Keyframe image actually replaced.
+    assert not np.allclose(np.asarray(state.kf_pyr[0]), kf_img_before)
+    # Keyframe pose is the current pose.
+    assert np.allclose(np.asarray(state.kf_pose), np.asarray(out.cur_pose))
+
+
+def test_depth_failure_keeps_keyframe(sequence):
+    _, _, frames = sequence
+    state, _ = init(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), CFG)
+    kf_img_before = np.asarray(state.kf_pyr[0])
+    flat = jnp.full((H, W), 99.0)
+    state, out = step(state, flat, flat, CFG)
+    assert not bool(out.depth_ok)
+    assert not bool(out.promoted)
+    assert np.allclose(np.asarray(state.kf_pyr[0]), kf_img_before)
+
+
+def test_rpe_metric_sane(sequence):
+    _, poses, frames = sequence
+    res = run_sequence(frames, CFG)
+    t_rpe, r_rpe = rpe(poses[: res.num_frames], res.poses, delta=1)
+    # Frame-to-keyframe tracking concentrates drift at keyframe switches, so
+    # per-frame RPE is looser than ATE; bound it at ~40% of the 0.25 m step.
+    assert t_rpe < 0.1
+    assert r_rpe < 0.02

@@ -1,0 +1,159 @@
+"""Integration tests: pose tracker recovers known synthetic motion.
+
+Two accuracy regimes, by design:
+
+* interp="floor" reproduces the reference's nearest-via-floor sampling
+  (``lm_optimizer.cpp:208-217``, flagged "BUG!!!" in its own source). It
+  cannot resolve sub-pixel flow — the converged pose carries a ~0.5-1.5 px
+  quantization bias — so assertions check "recovers most of the motion".
+* interp="bilinear" (the improved mode) converges to sub-millimetre accuracy
+  on the same data.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from odometry_tpu.camera import Pinhole
+from odometry_tpu.config import TrackerConfig
+from odometry_tpu.data.synthetic import make_scene, render
+from odometry_tpu.geometry import se3_exp, se3_inverse, se3_log
+from odometry_tpu.image import gaussian_image_pyramid, depth_pyramid
+from odometry_tpu.tracking.tracker import solve_pose
+
+H, W = 96, 160
+CAM = Pinhole.create(240.0, 240.0, W / 2.0, H / 2.0)
+
+
+def _make_pair(twist, seed=5):
+    scene = make_scene(seed, depth=10.0, num_blobs=0)
+    img_kf, z_kf = render(scene, CAM, jnp.eye(4), H, W)
+    T_wc2 = se3_exp(jnp.asarray(twist, jnp.float32))
+    img_cur, _ = render(scene, CAM, T_wc2, H, W)
+    T_true = se3_inverse(T_wc2)  # kf-cam -> cur-cam
+    inv_dep = 1.0 / z_kf
+    return img_kf, inv_dep, img_cur, T_true
+
+
+def _track(img_kf, inv_dep, img_cur, cfg, T_init=None):
+    pyr_kf = gaussian_image_pyramid(img_kf, cfg.num_levels, smooth=True)
+    pyr_cur = gaussian_image_pyramid(img_cur, cfg.num_levels, smooth=True)
+    dpyr = depth_pyramid(inv_dep, cfg.num_levels, smooth=False)
+    return solve_pose(pyr_kf, dpyr, pyr_cur, CAM, cfg, T_init)
+
+
+def _pose_err(T, T_true):
+    delta = se3_log(T @ se3_inverse(T_true))
+    return float(jnp.linalg.norm(delta[:3])), float(jnp.linalg.norm(delta[3:]))
+
+
+@pytest.mark.parametrize(
+    "twist",
+    [
+        [0.3, 0.0, 0.0, 0.0, 0.0, 0.0],  # lateral
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],  # forward 1 m
+        # NOTE: yaw-dominant cases are omitted in floor mode — on a planar
+        # scene yaw and lateral translation are homography-ambiguous and the
+        # reference's floor-sampling noise (~1 px) swamps the tie-breaking
+        # flow curvature; bilinear mode covers them tightly below.
+        [0.2, -0.1, 0.8, 0.01, -0.015, 0.008],  # general
+    ],
+)
+def test_tracker_floor_recovers_most_motion(twist):
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    res = _track(img_kf, inv_dep, img_cur, TrackerConfig(interp="floor"))
+    assert bool(res.ok)
+    # Pose decomposition is ill-conditioned for floor mode on a planar scene
+    # (yaw/lateral null space absorbs the ~1 px quantization noise), so
+    # measure in the observable space: mean optical-flow discrepancy between
+    # the estimated and true warps must shrink well below the initial flow.
+    err_flow = _mean_flow_err(inv_dep, res.T, T_true)
+    init_flow = _mean_flow_err(inv_dep, jnp.eye(4), T_true)
+    assert init_flow > 4.0  # scenario sanity: motion is well above the bias
+    assert err_flow < max(0.35 * init_flow, 1.6), (err_flow, init_flow)
+
+
+def _mean_flow_err(inv_dep, T_a, T_b):
+    from odometry_tpu.camera import backproject, warp_points
+
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W))
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    z = 1.0 / inv_dep
+    X, Y, Z = backproject(CAM, xs, ys, z)
+    ua, va, _, va_ok = warp_points(CAM, T_a, X, Y, Z, H, W)
+    ub, vb, _, vb_ok = warp_points(CAM, T_b, X, Y, Z, H, W)
+    ok = va_ok & vb_ok
+    d = jnp.sqrt((ua - ub) ** 2 + (va - vb) ** 2)
+    return float(jnp.sum(jnp.where(ok, d, 0.0)) / jnp.maximum(jnp.sum(ok), 1))
+
+
+@pytest.mark.parametrize(
+    "twist",
+    [
+        [0.05, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.3, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+        [0.2, -0.1, 0.8, 0.01, -0.015, 0.008],
+    ],
+)
+def test_tracker_bilinear_subpixel(twist):
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    res = _track(img_kf, inv_dep, img_cur, TrackerConfig(interp="bilinear"))
+    assert bool(res.ok)
+    t_err, r_err = _pose_err(res.T, T_true)
+    assert t_err < 0.02, (t_err, r_err)
+    assert r_err < 0.003, (t_err, r_err)
+
+
+def test_tracker_identity_motion():
+    img_kf, inv_dep, img_cur, _ = _make_pair([0, 0, 0, 0, 0, 0])
+    # Bilinear: exact. Floor: even at identity the warp arithmetic rounds
+    # u to x +- 1 ulp, so floor() lands one pixel off for ~half the pixels
+    # (same float arithmetic as the reference) — a small wander is expected.
+    res_b = _track(img_kf, inv_dep, img_cur, TrackerConfig(interp="bilinear"))
+    t_err, r_err = _pose_err(res_b.T, jnp.eye(4))
+    assert t_err < 1e-3 and r_err < 1e-4
+    res_f = _track(img_kf, inv_dep, img_cur, TrackerConfig(interp="floor"))
+    t_err, r_err = _pose_err(res_f.T, jnp.eye(4))
+    assert t_err < 0.08 and r_err < 0.01
+
+
+def test_tracker_warm_start():
+    twist = [0.06, 0.0, 0.4, 0.0, 0.006, 0.0]
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    res = _track(img_kf, inv_dep, img_cur, TrackerConfig(interp="bilinear"), T_init=T_true)
+    t_err, r_err = _pose_err(res.T, T_true)
+    assert t_err < 0.01 and r_err < 1e-3
+
+
+def test_tracker_all_invalid_depth_fails_to_identity():
+    img_kf, inv_dep, img_cur, _ = _make_pair([0.05, 0, 0, 0, 0, 0])
+    res = _track(img_kf, jnp.zeros_like(inv_dep), img_cur, TrackerConfig())
+    assert not bool(res.ok)
+    assert np.allclose(np.asarray(res.T), np.eye(4))
+
+
+def test_tracker_tdist_robust():
+    twist = [0.1, 0.0, 0.5, 0.0, 0.005, 0.0]
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    res = _track(img_kf, inv_dep, img_cur, TrackerConfig(robust="tdist", interp="bilinear"))
+    assert bool(res.ok)
+    t_err, r_err = _pose_err(res.T, T_true)
+    assert t_err < 0.02 and r_err < 0.003
+
+
+def test_tracker_jits():
+    twist = [0.1, 0.0, 0.5, 0.0, 0.005, 0.0]
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    cfg = TrackerConfig(interp="bilinear")
+    pyr_kf = gaussian_image_pyramid(img_kf, 4, smooth=True)
+    pyr_cur = gaussian_image_pyramid(img_cur, 4, smooth=True)
+    dpyr = depth_pyramid(inv_dep, 4, smooth=False)
+    f = jax.jit(lambda a, b, c: solve_pose(a, b, c, CAM, cfg))
+    res = f(pyr_kf, dpyr, pyr_cur)
+    t_err, _ = _pose_err(res.T, T_true)
+    assert t_err < 0.02
+    # stats tuple: coarsest level first, iterations within budget
+    assert len(res.stats) == 4
+    assert int(res.stats[0].iters) <= cfg.max_iterations[3]
