@@ -48,6 +48,14 @@ class TrackerConfig:
     # Depth-pyramid decimation phase: "odd" reproduces the reference's
     # image/depth pyramid misalignment (see image/pyramid.py); "even" aligns.
     depth_decimation: str = "odd"
+    # Execution engine: "points" extracts valid-depth pixels into
+    # fixed-capacity lists once per keyframe (the TPU-fast path — gathers
+    # scale with the ~5-8% of pixels that matter); "dense" computes masked
+    # full-frame tensors (simpler; used for parity testing). Same math.
+    engine: str = "points"
+    # Max tracked points at level 0 (reference max_residuals=80000,
+    # run_odometry_kitti_offline.cpp:60); level l capacity is this >> 2l.
+    point_capacity: int = 81920
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 
 from odometry_tpu.config import CameraConfig, DepthConfig
 from odometry_tpu.image.pyramid import gaussian_blur3
-from odometry_tpu.image.sampling import clip_gather_2d
+from odometry_tpu.image.sampling import clip_gather_2d, sample_bilinear
 from odometry_tpu.kernels.disparity import disparity_search
+from odometry_tpu.kernels.points import PointSet, extract_points
 from odometry_tpu.kernels.select import select_points
 
 _SENTINEL = -1000.0  # depth_estimate.cpp:221
@@ -160,6 +161,104 @@ def refine_depth(
     return out.current, out.resid, out.it, out.err_now
 
 
+def _eval_system_points(
+    d: jax.Array,
+    left_I: jax.Array,
+    right: jax.Array,
+    ys_i: jax.Array,
+    xs_f: jax.Array,
+    pvalid: jax.Array,
+    width: int,
+    tx_fx: float,
+    huber_delta: float,
+    interp: str,
+):
+    """Sparse ``ComputeResidualJacobian``: all arrays are (cap,) point lanes."""
+    W = width
+    warped_xf = xs_f - tx_fx * d
+    warped_x = jnp.floor(warped_xf).astype(jnp.int32)
+    in_bounds = (warped_x >= 2) & (warped_x <= W - 2) & pvalid
+    wx = jnp.clip(warped_x, 1, W - 2)
+    if interp == "floor":
+        r = left_I - clip_gather_2d(right, ys_i, wx)
+        g = tx_fx * 0.5 * (
+            clip_gather_2d(right, ys_i, wx + 1) - clip_gather_2d(right, ys_i, wx - 1)
+        )
+    else:
+        uw = jnp.clip(warped_xf, 1.0, jnp.float32(W - 2))
+        yf = ys_i.astype(jnp.float32)
+        r = left_I - sample_bilinear(right, uw, yf)
+        g = tx_fx * 0.5 * (
+            sample_bilinear(right, uw + 1.0, yf) - sample_bilinear(right, uw - 1.0, yf)
+        )
+    w = jnp.where(jnp.abs(r) <= huber_delta, 1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
+    ibf = in_bounds.astype(jnp.float32)
+    jtwj = g * g * w * ibf
+    b = -g * w * r * ibf
+    resid = jnp.where(in_bounds, jnp.abs(r), jnp.float32(_SENTINEL))
+    n_act = jnp.sum(ibf)
+    err = jnp.where(n_act > 0, jnp.sum(r * r * w * ibf) / jnp.maximum(n_act, 1.0), jnp.float32(jnp.inf))
+    return jtwj, b, resid, err
+
+
+def refine_depth_points(
+    left: jax.Array,
+    right: jax.Array,
+    pts: PointSet,
+    cam: CameraConfig,
+    cfg: DepthConfig,
+):
+    """Point-lane version of :func:`refine_depth` (the production path).
+
+    `pts.inv_depth` carries the search-initialized inverse depth. Returns
+    (refined (cap,), resid (cap,), iters, cost).
+    """
+    tx_fx = cam.baseline * cam.fx
+    W = left.shape[1]
+    ys_i = pts.ys.astype(jnp.int32)
+    xs_f = pts.xs
+    left_I = clip_gather_2d(left, ys_i, pts.xs.astype(jnp.int32))
+
+    def cond(c: _RefineCarry):
+        return c.active & (c.it < cfg.max_iters)
+
+    def body(c: _RefineCarry):
+        jtwj, b, resid, err_now = _eval_system_points(
+            c.tmp, left_I, right, ys_i, xs_f, pts.valid, W, tx_fx,
+            cfg.huber_delta, cfg.interp,
+        )
+        bad = err_now > c.err_last
+        lam_up = c.lam * cfg.lambda_up
+        lam_down = jnp.maximum(c.lam / cfg.lambda_down, cfg.lambda_min)
+        lam_new = jnp.where(bad, lam_up, lam_down)
+        break_bad = bad & (lam_up > cfg.lambda_max)
+        current = jnp.where(bad, c.pre, c.tmp)
+        pre = current
+        break_good = (~bad) & (err_now / c.err_last > cfg.precision)
+        err_last = jnp.where(bad, c.err_last, err_now)
+        active = ~(break_bad | break_good)
+        denom = jtwj * (1.0 + lam_new)
+        delta = jnp.where(denom > 0, b / jnp.where(denom > 0, denom, 1.0), 0.0)
+        tmp = current + delta
+        return _RefineCarry(tmp, current, pre, resid, err_last, err_now, lam_new, c.it + 1, active)
+
+    f32 = jnp.float32
+    cap = pts.xs.shape[0]
+    init = _RefineCarry(
+        tmp=pts.inv_depth,
+        current=pts.inv_depth,
+        pre=pts.inv_depth,
+        resid=jnp.zeros((cap,), f32),
+        err_last=jnp.asarray(1e10, f32),
+        err_now=jnp.asarray(0.0, f32),
+        lam=jnp.asarray(cfg.lambda_init, f32),
+        it=jnp.asarray(0, jnp.int32),
+        active=jnp.asarray(True),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.current, out.resid, out.it, out.err_now
+
+
 def compute_depth(
     left: jax.Array,
     right: jax.Array,
@@ -201,19 +300,28 @@ def compute_depth(
 
     # The reference keeps val=1 for selected pixels whose SSD failed; they
     # enter refinement with inverse depth 0 (depth_estimate.cpp:388-395 with
-    # left_dep initialised to zero by the driver).
-    refined, resid, iters, cost = refine_depth(
-        left, right, disp.inv_depth, sel, cam, cfg
-    )
+    # left_dep initialised to zero by the driver). Refinement runs on the
+    # extracted point lanes (row-major first max_residuals, mirroring the
+    # reference's gather at depth_estimate.cpp:106-116).
+    pts = extract_points(disp.inv_depth, sel, cfg.max_residuals)
+    refined, resid, iters, cost = refine_depth_points(left, right, pts, cam, cfg)
 
-    # Writeback + filtering (depth_estimate.cpp:176-197).
+    # Writeback + filtering (depth_estimate.cpp:176-197), per point lane.
     photo_bad = (resid > cfg.photo_th) | (resid == _SENTINEL)
     safe = jnp.where(refined != 0, refined, jnp.inf)
     depth = 1.0 / safe
     range_bad = (depth > cfg.max_depth) | (depth < cfg.min_depth)
-    valid = sel & ~photo_bad & ~range_bad
-    inv_depth = jnp.where(valid, refined, 0.0)
+    valid_pt = pts.valid & ~photo_bad & ~range_bad
+    vals = jnp.where(valid_pt, refined, 0.0)
 
-    num_valid = jnp.sum(valid)
+    # Scatter back to dense maps. Padded lanes carry index 0 -> pixel (0, 0),
+    # which is inside the never-selected border, and write zeros/False.
+    H, W = left.shape
+    ys_i = pts.ys.astype(jnp.int32)
+    xs_i = pts.xs.astype(jnp.int32)
+    valid = jnp.zeros((H, W), bool).at[ys_i, xs_i].max(valid_pt)
+    inv_depth = jnp.zeros((H, W), jnp.float32).at[ys_i, xs_i].add(vals)
+
+    num_valid = jnp.sum(valid_pt)
     ok = num_valid >= cfg.min_valid_points
     return DepthResult(valid, disp.disparity, inv_depth, ok, num_valid, iters, cost)

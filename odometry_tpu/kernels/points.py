@@ -1,0 +1,186 @@
+"""Fixed-capacity point lists: the sparse TPU-native tracking representation.
+
+The reference's hot loops iterate only pixels with valid depth (~5-8% of the
+frame, ``lm_optimizer.cpp:193``) or selected points (``depth_estimate.cpp:
+106-116``). A dense masked formulation pays the (expensive, ~16 ns/element)
+TPU gather for 100% of pixels; extracting the valid pixels ONCE per keyframe
+into static-capacity point arrays makes every LM iteration ~12x cheaper.
+
+Capacity semantics mirror the reference's ``max_residuals`` cap
+(``run_odometry_kitti_offline.cpp:60``): extraction keeps the first
+`capacity` valid pixels in row-major order and reports the true count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.camera.pinhole import Pinhole
+from odometry_tpu.image.sampling import clip_gather_2d, sample_bilinear
+
+_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+class PointSet(NamedTuple):
+    """Sparse pixels with inverse depth; fixed capacity, mask-padded."""
+
+    xs: jax.Array  # (cap,) float32 pixel x
+    ys: jax.Array  # (cap,) float32 pixel y
+    inv_depth: jax.Array  # (cap,) float32
+    valid: jax.Array  # (cap,) bool
+    num: jax.Array  # scalar int32 = number of valid entries
+
+
+def extract_points(
+    values: jax.Array,
+    mask: jax.Array,
+    capacity: int,
+) -> PointSet:
+    """Gather pixels where `mask` into a capacity-bounded PointSet.
+
+    Row-major order, first `capacity` kept (jnp.nonzero(..., size=) semantics).
+    """
+    H, W = values.shape
+    flat_mask = mask.reshape(-1)
+    (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
+    count = jnp.minimum(jnp.sum(flat_mask), capacity).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
+    valid = lane < count
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    vals = jnp.take(values.reshape(-1), idx)
+    return PointSet(xs, ys, vals, valid, count)
+
+
+def depth_point_pyramid(
+    dpyr,
+    boundary: int,
+    min_inv_depth: float,
+    capacity: int,
+):
+    """Per-level PointSets from an inverse-depth pyramid.
+
+    Valid = |d| >= min_inv_depth inside the tracker's border margin
+    (``lm_optimizer.cpp:190-193``). Capacity shrinks 4x per level.
+    """
+    out = []
+    for l, dep in enumerate(dpyr):
+        H, W = dep.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        border = (
+            (ys >= boundary) & (ys < H - boundary) & (xs >= boundary) & (xs < W - boundary)
+        )
+        mask = border & (jnp.abs(dep) >= min_inv_depth)
+        cap = max(min(capacity >> (2 * l), H * W), 8)
+        out.append(extract_points(dep, mask, cap))
+    return tuple(out)
+
+
+class PointSystem(NamedTuple):
+    r: jax.Array  # (cap,)
+    J: jax.Array  # (cap, 6)
+    valid: jax.Array  # (cap,) bool
+
+
+def residual_jacobian_points(
+    pts: PointSet,
+    img_cur: jax.Array,
+    cam: Pinhole,
+    T: jax.Array,
+    *,
+    kf_intensity: jax.Array,
+    interp: str = "floor",
+) -> PointSystem:
+    """Sparse equivalent of kernels.photometric.residual_jacobian.
+
+    `kf_intensity` is the keyframe image value at each point (gathered once at
+    keyframe creation, not per iteration).
+    """
+    H, W = img_cur.shape
+    d = pts.inv_depth
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
+    Z0 = 1.0 / safe_d
+    X = Z0 * (pts.xs - cam.cx) / cam.fx
+    Y = Z0 * (pts.ys - cam.cy) / cam.fy
+
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Xw = R[0, 0] * X + R[0, 1] * Y + R[0, 2] * Z0 + t[0]
+    Yw = R[1, 0] * X + R[1, 1] * Y + R[1, 2] * Z0 + t[1]
+    Zw = R[2, 0] * X + R[2, 1] * Y + R[2, 2] * Z0 + t[2]
+    safe_Zw = jnp.where(Zw == 0, 1.0, Zw)
+    u = cam.fx * Xw / safe_Zw + cam.cx
+    v = cam.fy * Yw / safe_Zw + cam.cy
+    uf = jnp.floor(u)
+    vf = jnp.floor(v)
+    valid = (
+        pts.valid
+        & (Zw > 0.0)
+        & (uf >= 0.0)
+        & (vf >= 0.0)
+        & (uf < jnp.float32(W))
+        & (vf < jnp.float32(H))
+    )
+
+    if interp == "floor":
+        xi = jnp.clip(uf.astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(vf.astype(jnp.int32), 0, H - 1)
+        I2w = clip_gather_2d(img_cur, yi, xi)
+        gx = 0.5 * (
+            clip_gather_2d(img_cur, yi, xi + 1) - clip_gather_2d(img_cur, yi, xi - 1)
+        )
+        gy = 0.5 * (
+            clip_gather_2d(img_cur, yi + 1, xi) - clip_gather_2d(img_cur, yi - 1, xi)
+        )
+    elif interp == "bilinear":
+        I2w = sample_bilinear(img_cur, u, v)
+        gx = 0.5 * (sample_bilinear(img_cur, u + 1.0, v) - sample_bilinear(img_cur, u - 1.0, v))
+        gy = 0.5 * (sample_bilinear(img_cur, u, v + 1.0) - sample_bilinear(img_cur, u, v - 1.0))
+    else:
+        raise ValueError(f"unknown interp mode {interp!r}")
+
+    r = I2w - kf_intensity
+
+    # 2x6 warp Jacobian at the keyframe point (lm_optimizer.cpp:232-234).
+    inv_Z = 1.0 / jnp.where(Z0 == 0, 1.0, Z0)
+    fx_z = cam.fx * inv_Z
+    fy_z = cam.fy * inv_Z
+    xy = X * Y
+    inv_Z2 = inv_Z * inv_Z
+    a = gx * fx_z
+    b = gy * fy_z
+    J = jnp.stack(
+        [
+            a,
+            b,
+            -(a * X + b * Y) * inv_Z,
+            -a * xy * inv_Z - gy * cam.fy * (1.0 + Y * Y * inv_Z2),
+            gx * cam.fx * (1.0 + X * X * inv_Z2) + b * xy * inv_Z,
+            -a * Y + b * X,
+        ],
+        axis=-1,
+    )
+    vf32 = valid.astype(r.dtype)
+    return PointSystem(r * vf32, J * vf32[:, None], valid)
+
+
+class PointNormalEqs(NamedTuple):
+    JtWJ: jax.Array
+    JtWr: jax.Array
+    err: jax.Array
+    num_valid: jax.Array
+
+
+def normal_equations_points(sys: PointSystem, weights: jax.Array) -> PointNormalEqs:
+    w = weights * sys.valid.astype(weights.dtype)
+    Jw = sys.J * w[:, None]
+    JtWJ = _einsum("ni,nj->ij", Jw, sys.J)
+    JtWr = _einsum("ni,n->i", Jw, sys.r)
+    num_valid = jnp.sum(sys.valid)
+    err = jnp.sum(w * sys.r * sys.r) / jnp.maximum(num_valid, 1).astype(sys.r.dtype)
+    return PointNormalEqs(JtWJ, JtWr, err, num_valid)

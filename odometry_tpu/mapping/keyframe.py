@@ -1,0 +1,122 @@
+"""Keyframe store: fixed-capacity ring buffer of keyframes as one pytree.
+
+Completes what the reference only sketches: its ``KeyFrame`` (C7,
+``include/keyframe.h``) holds images + depth + pose behind shared_ptrs, and
+``GlobalMap`` (C8, ``include/global_map.h``) — a keyframe vector with a
+cursor — does not even compile and is absent from the build
+(``CMakeLists.txt:47-51``). Here the store is a struct-of-arrays pytree with
+static shapes, so map maintenance lives inside jit and the whole window is
+sharding-friendly (leading keyframe axis).
+
+Each slot keeps the sparse level-0 representation that the backend needs
+(points + inverse depth + intensities + pose), not full pyramids: windowed
+photometric BA (mapping/ba.py) operates on exactly this data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.kernels.points import PointSet
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KeyframeStore:
+    """Ring buffer of K keyframes; arrays lead with the slot axis."""
+
+    xs: jax.Array  # (K, cap) point pixel x
+    ys: jax.Array  # (K, cap)
+    inv_depth: jax.Array  # (K, cap)
+    intensity: jax.Array  # (K, cap) keyframe image at the point
+    point_valid: jax.Array  # (K, cap) bool
+    pose: jax.Array  # (K, 4, 4) cam-to-world
+    frame_id: jax.Array  # (K,) int32 source frame index
+    occupied: jax.Array  # (K,) bool slot in use
+    head: jax.Array  # scalar int32: next slot to write (ring cursor)
+    count: jax.Array  # scalar int32: total keyframes ever inserted
+
+
+def create_store(capacity_kf: int, capacity_pts: int) -> KeyframeStore:
+    K, P = capacity_kf, capacity_pts
+    return KeyframeStore(
+        xs=jnp.zeros((K, P), jnp.float32),
+        ys=jnp.zeros((K, P), jnp.float32),
+        inv_depth=jnp.zeros((K, P), jnp.float32),
+        intensity=jnp.zeros((K, P), jnp.float32),
+        point_valid=jnp.zeros((K, P), bool),
+        pose=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)),
+        frame_id=jnp.full((K,), -1, jnp.int32),
+        occupied=jnp.zeros((K,), bool),
+        head=jnp.asarray(0, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def insert_keyframe(
+    store: KeyframeStore,
+    pts: PointSet,
+    intensity: jax.Array,
+    pose: jax.Array,
+    frame_id: jax.Array,
+) -> KeyframeStore:
+    """Write a keyframe at the ring head (oldest slot is evicted when full).
+
+    Equivalent of ``GlobalMap::InsertKeyFrame`` (global_map.cpp:55-82) but
+    jit-safe and bounded. `pts` capacity must equal the store's point capacity.
+    """
+    slot = store.head
+    K = store.pose.shape[0]
+    return KeyframeStore(
+        xs=store.xs.at[slot].set(pts.xs),
+        ys=store.ys.at[slot].set(pts.ys),
+        inv_depth=store.inv_depth.at[slot].set(pts.inv_depth),
+        intensity=store.intensity.at[slot].set(intensity),
+        point_valid=store.point_valid.at[slot].set(pts.valid),
+        pose=store.pose.at[slot].set(pose),
+        frame_id=store.frame_id.at[slot].set(jnp.asarray(frame_id, jnp.int32)),
+        occupied=store.occupied.at[slot].set(True),
+        head=(slot + 1) % K,
+        count=store.count + 1,
+    )
+
+
+def maybe_insert_keyframe(
+    store: KeyframeStore,
+    do_insert: jax.Array,
+    pts: PointSet,
+    intensity: jax.Array,
+    pose: jax.Array,
+    frame_id: jax.Array,
+) -> KeyframeStore:
+    """Conditionally insert (jit-safe select between updated and old store)."""
+    inserted = insert_keyframe(store, pts, intensity, pose, frame_id)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(do_insert, a, b), inserted, store
+    )
+
+
+def window_slots(store: KeyframeStore, window: int) -> jax.Array:
+    """Slot indices of the most recent `window` keyframes, newest last.
+
+    Entries for not-yet-occupied slots repeat the oldest valid slot (callers
+    mask with `occupied`).
+    """
+    K = store.pose.shape[0]
+    newest = (store.head - 1) % K
+    offs = jnp.arange(window - 1, -1, -1, dtype=jnp.int32)
+    slots = (newest - offs) % K
+    # Clamp: if fewer than `window` inserted, repeat the earliest one.
+    n = jnp.minimum(store.count, K)
+    earliest = (store.head - n) % K
+    have = offs < n
+    return jnp.where(have, slots, earliest)
+
+
+def update_poses(store: KeyframeStore, slots: jax.Array, new_poses: jax.Array) -> KeyframeStore:
+    """Write back BA-refined poses for the given slots (ModifyKeyFrame role)."""
+    return dataclasses.replace(store, pose=store.pose.at[slots].set(new_poses))

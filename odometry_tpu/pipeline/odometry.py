@@ -41,7 +41,12 @@ from odometry_tpu.geometry import (
     se3_inverse,
 )
 from odometry_tpu.image.pyramid import depth_pyramid, gaussian_image_pyramid
-from odometry_tpu.tracking.tracker import solve_pose, TrackResult
+from odometry_tpu.tracking.tracker import (
+    TrackResult,
+    prepare_keyframe,
+    solve_pose,
+    solve_pose_points,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -51,6 +56,7 @@ class OdometryState:
 
     kf_pyr: Tuple[jax.Array, ...]  # keyframe image pyramid (level 0 first)
     kf_dpyr: Tuple[jax.Array, ...]  # keyframe inverse-depth pyramid
+    kf_track: tuple  # engine="points": per-level KeyframeLevel; else ()
     kf_valid: jax.Array  # (H, W) keyframe depth validity mask
     kf_pose: jax.Array  # (4, 4) keyframe absolute pose (cam-to-world)
     pose_init: jax.Array  # (4, 4) tracker warm start (reference affine_init_)
@@ -91,10 +97,16 @@ def init(
     pyr = gaussian_image_pyramid(left, n, smooth=True)
     dpyr = depth_pyramid(dres.inv_depth, n, smooth=False,
                          indexing=cfg.tracker.depth_decimation)
+    kf_track = (
+        prepare_keyframe(pyr, dpyr, cfg.tracker)
+        if cfg.tracker.engine == "points"
+        else ()
+    )
     pose0 = init_pose if init_pose is not None else se3_identity()
     state = OdometryState(
         kf_pyr=pyr,
         kf_dpyr=dpyr,
+        kf_track=kf_track,
         kf_valid=dres.valid,
         kf_pose=pose0,
         pose_init=se3_identity(),
@@ -117,14 +129,24 @@ def step(
     cam = _cam(cfg)
 
     pyr_cur = gaussian_image_pyramid(left, n, smooth=True)
-    track: TrackResult = solve_pose(
-        state.kf_pyr, state.kf_dpyr, pyr_cur, cam, cfg.tracker, state.pose_init
-    )
+    if cfg.tracker.engine == "points":
+        track: TrackResult = solve_pose_points(
+            state.kf_track, pyr_cur, cam, cfg.tracker, state.pose_init
+        )
+    else:
+        track = solve_pose(
+            state.kf_pyr, state.kf_dpyr, pyr_cur, cam, cfg.tracker, state.pose_init
+        )
     cur_pose = se3_compose(state.kf_pose, se3_inverse(track.T))
 
     dres = compute_depth(left, right, cfg.camera, cfg.depth)
     dpyr_cur = depth_pyramid(dres.inv_depth, n, smooth=False,
                              indexing=cfg.tracker.depth_decimation)
+    track_cur = (
+        prepare_keyframe(pyr_cur, dpyr_cur, cfg.tracker)
+        if cfg.tracker.engine == "points"
+        else ()
+    )
 
     # Keyframe criterion (``:254-258``): per-axis rotation angles of the
     # RELATIVE pose + absolute translation components, weighted.
@@ -148,6 +170,7 @@ def step(
     new_state = OdometryState(
         kf_pyr=sel(pyr_cur, state.kf_pyr),
         kf_dpyr=sel(dpyr_cur, state.kf_dpyr),
+        kf_track=sel(track_cur, state.kf_track),
         kf_valid=sel(dres.valid, state.kf_valid),
         kf_pose=sel(cur_pose, state.kf_pose),
         # Both branches warm-start with pose_to_keyframe (:261, :268).

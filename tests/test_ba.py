@@ -1,0 +1,179 @@
+"""Windowed photometric BA: recovers perturbed poses and depths on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from odometry_tpu.camera import Pinhole
+from odometry_tpu.data.synthetic import make_scene, render
+from odometry_tpu.geometry import se3_exp, se3_inverse, se3_log
+from odometry_tpu.image import gaussian_blur3
+from odometry_tpu.image.sampling import clip_gather_2d
+from odometry_tpu.kernels.select import select_points
+from odometry_tpu.kernels.points import extract_points
+from odometry_tpu.mapping.ba import BAConfig, BAProblem, ba_solve
+
+H, W = 96, 160
+CAM = Pinhole.create(240.0, 240.0, W / 2.0, H / 2.0)
+K = 4
+P = 512
+
+
+def _make_problem(seed=31, pose_noise=0.0, depth_noise_px=0.0):
+    scene = make_scene(seed, depth=11.0)
+    rng = np.random.default_rng(seed)
+    gt_poses = []
+    T = np.eye(4, dtype=np.float32)
+    for k in range(K):
+        gt_poses.append(T.copy())
+        delta = np.asarray(
+            se3_exp(jnp.asarray([0.35, 0.02 * rng.standard_normal(), 0.05, 0, 0.002, 0], jnp.float32))
+        )
+        T = (T @ delta).astype(np.float32)
+    gt_poses = np.stack(gt_poses)
+
+    images, xs, ys, inv_d, inten, pvalid = [], [], [], [], [], []
+    for k in range(K):
+        img, z = render(scene, CAM, jnp.asarray(gt_poses[k]), H, W)
+        images.append(img)
+        sel = select_points(gaussian_blur3(img), boundary=4, block_rows=8,
+                            block_cols=16, grad_th=8.0, max_points_per_block=80)
+        pts = extract_points(1.0 / z, sel, P)
+        xs.append(pts.xs)
+        ys.append(pts.ys)
+        inv_d.append(pts.inv_depth)
+        inten.append(clip_gather_2d(img, pts.ys.astype(jnp.int32), pts.xs.astype(jnp.int32)))
+        pvalid.append(pts.valid)
+
+    gt_inv = jnp.stack(inv_d)
+    poses0 = gt_poses.copy()
+    if pose_noise > 0:
+        for k in range(1, K):  # keep gauge frame exact
+            xi = rng.standard_normal(6).astype(np.float32)
+            xi[:3] *= pose_noise
+            xi[3:] *= pose_noise * 0.1
+            poses0[k] = poses0[k] @ np.asarray(se3_exp(jnp.asarray(xi)))
+    inv0 = gt_inv
+    if depth_noise_px > 0:
+        scale = 240.0 * 0.537
+        noise = rng.uniform(-depth_noise_px, depth_noise_px, (K, P)).astype(np.float32) / scale
+        inv0 = gt_inv + jnp.asarray(noise) * jnp.stack(pvalid)
+
+    problem = BAProblem(
+        images=jnp.stack(images),
+        xs=jnp.stack(xs),
+        ys=jnp.stack(ys),
+        inv_depth=inv0,
+        intensity=jnp.stack(inten),
+        point_valid=jnp.stack(pvalid),
+        pose=jnp.asarray(poses0),
+        kf_valid=jnp.ones((K,), bool),
+    )
+    return problem, gt_poses, gt_inv
+
+
+def _pose_errs(poses, gt):
+    errs = []
+    for k in range(K):
+        d = se3_log(jnp.asarray(poses[k]) @ se3_inverse(jnp.asarray(gt[k])))
+        errs.append(float(jnp.linalg.norm(d[:3])))
+    return np.asarray(errs)
+
+
+def test_ba_zero_noise_is_stable():
+    problem, gt_poses, _ = _make_problem(pose_noise=0.0)
+    res = ba_solve(problem, CAM, BAConfig(window=K, iters=3))
+    errs = _pose_errs(np.asarray(res.pose), gt_poses)
+    assert errs.max() < 5e-3, errs
+    assert int(res.num_residuals) > 500
+
+
+def test_ba_recovers_pose_perturbation_motion_only():
+    # Depths fixed at (correct) stereo values: the planar-scene homography
+    # gauge is pinned and poses must return to GT.
+    problem, gt_poses, _ = _make_problem(pose_noise=0.05)
+    errs0 = _pose_errs(np.asarray(problem.pose), gt_poses)
+    res = ba_solve(problem, CAM, BAConfig(window=K, iters=8, fix_depths=True))
+    errs = _pose_errs(np.asarray(res.pose), gt_poses)
+    # Cost collapses; observable pose error shrinks. (The last ~0.03 m lives
+    # in weakly-observable directions — translation toward a distant plane
+    # moves the flow by <0.3 px — so the bound is 50%, not zero.)
+    assert float(res.cost_final) < 0.01 * float(res.cost_initial)
+    assert errs.max() < 0.5 * errs0.max(), (errs0, errs)
+    # And depths were untouched.
+    assert np.array_equal(np.asarray(res.inv_depth), np.asarray(problem.inv_depth))
+
+
+def test_ba_full_reduces_cost_on_perturbation():
+    # With free depths on a single plane the pose gauge is degenerate, so the
+    # contract is: photometric cost collapses (Schur solve works) and the
+    # result stays finite.
+    problem, gt_poses, _ = _make_problem(pose_noise=0.05)
+    res = ba_solve(problem, CAM, BAConfig(window=K, iters=6))
+    assert float(res.cost_final) < 0.1 * float(res.cost_initial)
+    assert np.all(np.isfinite(np.asarray(res.pose)))
+    assert np.all(np.isfinite(np.asarray(res.inv_depth)))
+
+
+def test_ba_refines_depths():
+    problem, gt_poses, gt_inv = _make_problem(pose_noise=0.0, depth_noise_px=0.4)
+    res = ba_solve(problem, CAM, BAConfig(window=K, iters=6))
+    pv = np.asarray(problem.point_valid)
+    e0 = np.abs(np.asarray(problem.inv_depth) - np.asarray(gt_inv))[pv].mean()
+    e1 = np.abs(np.asarray(res.inv_depth) - np.asarray(gt_inv))[pv].mean()
+    assert e1 < e0, (e0, e1)
+
+
+def test_ba_jacobians_match_finite_differences():
+    from odometry_tpu.mapping.ba import _linearize
+
+    problem, _, _ = _make_problem(pose_noise=0.0)
+    cfg = BAConfig(window=K)
+
+    def lin(pose, inv_depth):
+        prob = problem._replace(pose=pose, inv_depth=inv_depth)
+        return _linearize(prob, CAM, cfg)
+
+    r0, w0, J_i, J_j, J_d, valid = lin(problem.pose, problem.inv_depth)
+    eps = 1e-3
+    for axis in range(6):
+        e = np.zeros(6, np.float32)
+        e[axis] = eps
+        dT = se3_exp(jnp.asarray(e))
+        pose2 = problem.pose.at[1].set(problem.pose[1] @ dT)
+        r1 = lin(pose2, problem.inv_depth)[0]
+        num = (np.asarray(r1) - np.asarray(r0)) / eps  # (j, i, P)
+        v = np.asarray(valid)
+        # Owner-side Jacobian rows for keyframe 1.
+        ana_i = np.asarray(J_i)[..., axis]
+        mi = v & (np.abs(ana_i) > 1.0)
+        mi[:, np.arange(K) != 1, :] = False
+        if mi.sum() > 20:
+            ratio = np.median(num[mi] / ana_i[mi])
+            assert abs(ratio - 1.0) < 0.1, (axis, "J_i", ratio)
+        # Observer-side Jacobian rows for keyframe 1.
+        ana_j = np.asarray(J_j)[..., axis]
+        mj = v & (np.abs(ana_j) > 1.0)
+        mj[np.arange(K) != 1, :, :] = False
+        mj[:, 1, :] = False
+        if mj.sum() > 20:
+            ratio = np.median(num[mj] / ana_j[mj])
+            assert abs(ratio - 1.0) < 0.1, (axis, "J_j", ratio)
+    # Depth Jacobian.
+    d_eps = 1e-5
+    inv2 = problem.inv_depth.at[1, 5].add(d_eps)
+    r1 = lin(problem.pose, inv2)[0]
+    num = (np.asarray(r1)[:, 1, 5] - np.asarray(r0)[:, 1, 5]) / d_eps
+    ana = np.asarray(J_d)[:, 1, 5]
+    m = np.asarray(valid)[:, 1, 5] & (np.abs(ana) > 1e-3)
+    if m.sum():
+        ratios = num[m] / ana[m]
+        assert np.all(np.abs(ratios - 1.0) < 0.15), ratios
+
+
+def test_ba_jits():
+    problem, _, _ = _make_problem(pose_noise=0.02)
+    f = jax.jit(lambda p: ba_solve(p, CAM, BAConfig(window=K, iters=2)))
+    res = f(problem)
+    assert np.all(np.isfinite(np.asarray(res.pose)))
+    assert float(res.cost_final) <= float(res.cost_initial) * 1.01

@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from odometry_tpu.camera import Pinhole
+from odometry_tpu.config import (
+    CameraConfig,
+    DepthConfig,
+    KeyframeConfig,
+    PipelineConfig,
+    TrackerConfig,
+)
+from odometry_tpu.data.synthetic import make_scene, render_stereo
+from odometry_tpu.distributed.mesh import sequence_mesh
+from odometry_tpu.distributed.sweep import batched_init, batched_step
+from odometry_tpu.distributed.ba_dist import ba_solve_sharded
+from odometry_tpu.mapping.ba import BAConfig, ba_solve
+
+
+H, W = 64, 96
+CFG = PipelineConfig(
+    camera=CameraConfig(fx=120.0, fy=120.0, cx=W / 2.0, cy=H / 2.0, height=H, width=W),
+    tracker=TrackerConfig(num_levels=2, max_iterations=(6, 6), interp="bilinear",
+                          depth_decimation="even"),
+    depth=DepthConfig(block_rows=4, block_cols=8, min_valid_points=1, max_iters=6,
+                      interp="bilinear"),
+    keyframe=KeyframeConfig(),
+)
+CAM = Pinhole.create(120.0, 120.0, W / 2.0, H / 2.0)
+
+
+def _frames(n):
+    lefts, rights = [], []
+    for s in range(n):
+        scene = make_scene(s, depth=14.0)
+        l, r, _ = render_stereo(scene, CAM, CFG.camera.baseline, jnp.eye(4), H, W)
+        lefts.append(l)
+        rights.append(r)
+    return jnp.stack(lefts), jnp.stack(rights)
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_batched_sweep_step():
+    mesh = sequence_mesh(8)
+    left_b, right_b = _frames(8)
+    sharding = NamedSharding(mesh, P("seq"))
+    left_b = jax.device_put(left_b, sharding)
+    right_b = jax.device_put(right_b, sharding)
+    states = batched_init(left_b, right_b, CFG, mesh)
+    assert states.cur_pose.shape == (8, 4, 4)
+    new_states, outs, global_ok = batched_step(states, left_b, right_b, CFG, mesh)
+    assert new_states.cur_pose.shape == (8, 4, 4)
+    assert outs.depth_ok.shape == (8,)
+    # Identical frames fed again: motion ~ 0, all healthy.
+    assert bool(global_ok)
+    t = np.asarray(outs.pose_to_kf)[:, :3, 3]
+    assert np.abs(t).max() < 0.1
+
+
+def test_sharded_ba_matches_single_device():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_ba import _make_problem, CAM as BACAM, K
+
+    problem, gt_poses, _ = _make_problem(pose_noise=0.02)
+    cfg = BAConfig(window=K, iters=3, fix_depths=False)
+    res_single = ba_solve(problem, BACAM, cfg)
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("model",))
+    res_shard = ba_solve_sharded(problem, BACAM, mesh, cfg)
+
+    assert np.allclose(
+        np.asarray(res_single.pose), np.asarray(res_shard.pose), atol=2e-4
+    )
+    assert np.allclose(
+        np.asarray(res_single.inv_depth), np.asarray(res_shard.inv_depth), atol=1e-4
+    )
+    assert int(res_single.num_residuals) == int(res_shard.num_residuals)
+
+
+def test_graft_entry_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    # Tiny smoke of the contract shape only: must be jittable. (Full KITTI-size
+    # compile is exercised by the driver on TPU; on CPU we just trace shapes.)
+    traced = jax.eval_shape(fn, *args)
+    assert traced is not None
+    ge.dryrun_multichip(8)
