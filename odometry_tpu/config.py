@@ -53,9 +53,12 @@ class TrackerConfig:
     # scale with the ~5-8% of pixels that matter); "dense" computes masked
     # full-frame tensors (simpler; used for parity testing). Same math.
     engine: str = "points"
-    # Max tracked points at level 0 (reference max_residuals=80000,
-    # run_odometry_kitti_offline.cpp:60); level l capacity is this >> 2l.
-    point_capacity: int = 81920
+    # Max tracked points at level 0; level l capacity is this >> 2l. The
+    # reference's own selection can produce at most block_rows * block_cols *
+    # max_points_per_block = 16*32*80 = 40960 points, so this default is a
+    # tight bound (its max_residuals=80000 is never reachable). Gather cost
+    # scales with capacity — keep it snug.
+    point_capacity: int = 40960
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +126,13 @@ class PipelineConfig:
     tracker: TrackerConfig = TrackerConfig()
     depth: DepthConfig = DepthConfig()
     keyframe: KeyframeConfig = KeyframeConfig()
+    # True reproduces the reference, which runs the stereo frontend on EVERY
+    # frame and discards the result unless the frame becomes a keyframe
+    # (run_odometry_kitti_offline.cpp:229). False computes depth only when the
+    # motion criterion nominates a keyframe (lax.cond) — identical trajectory
+    # on healthy sequences, big throughput win; the only semantic difference
+    # is that depth failures on never-promoted frames go unnoticed.
+    depth_every_frame: bool = True
 
 
 def kitti_config() -> PipelineConfig:

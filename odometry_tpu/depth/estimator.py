@@ -172,8 +172,14 @@ def _eval_system_points(
     tx_fx: float,
     huber_delta: float,
     interp: str,
+    gxr: jax.Array | None = None,
 ):
-    """Sparse ``ComputeResidualJacobian``: all arrays are (cap,) point lanes."""
+    """Sparse ``ComputeResidualJacobian``: all arrays are (cap,) point lanes.
+
+    `gxr` is the precomputed central x-gradient of `right`; sampling it at the
+    warped column reproduces the reference's 0.5*(R[wx+1]-R[wx-1]) exactly
+    while halving the per-iteration gather count.
+    """
     W = width
     warped_xf = xs_f - tx_fx * d
     warped_x = jnp.floor(warped_xf).astype(jnp.int32)
@@ -181,16 +187,22 @@ def _eval_system_points(
     wx = jnp.clip(warped_x, 1, W - 2)
     if interp == "floor":
         r = left_I - clip_gather_2d(right, ys_i, wx)
-        g = tx_fx * 0.5 * (
-            clip_gather_2d(right, ys_i, wx + 1) - clip_gather_2d(right, ys_i, wx - 1)
-        )
+        if gxr is not None:
+            g = tx_fx * clip_gather_2d(gxr, ys_i, wx)
+        else:
+            g = tx_fx * 0.5 * (
+                clip_gather_2d(right, ys_i, wx + 1) - clip_gather_2d(right, ys_i, wx - 1)
+            )
     else:
         uw = jnp.clip(warped_xf, 1.0, jnp.float32(W - 2))
         yf = ys_i.astype(jnp.float32)
         r = left_I - sample_bilinear(right, uw, yf)
-        g = tx_fx * 0.5 * (
-            sample_bilinear(right, uw + 1.0, yf) - sample_bilinear(right, uw - 1.0, yf)
-        )
+        if gxr is not None:
+            g = tx_fx * clip_gather_2d(gxr, ys_i, jnp.round(uw).astype(jnp.int32))
+        else:
+            g = tx_fx * 0.5 * (
+                sample_bilinear(right, uw + 1.0, yf) - sample_bilinear(right, uw - 1.0, yf)
+            )
     w = jnp.where(jnp.abs(r) <= huber_delta, 1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
     ibf = in_bounds.astype(jnp.float32)
     jtwj = g * g * w * ibf
@@ -218,6 +230,10 @@ def refine_depth_points(
     ys_i = pts.ys.astype(jnp.int32)
     xs_f = pts.xs
     left_I = clip_gather_2d(left, ys_i, pts.xs.astype(jnp.int32))
+    # Central x-gradient of the right image, once per frame.
+    from odometry_tpu.image.pyramid import central_gradients
+
+    gxr, _ = central_gradients(right)
 
     def cond(c: _RefineCarry):
         return c.active & (c.it < cfg.max_iters)
@@ -225,7 +241,7 @@ def refine_depth_points(
     def body(c: _RefineCarry):
         jtwj, b, resid, err_now = _eval_system_points(
             c.tmp, left_I, right, ys_i, xs_f, pts.valid, W, tx_fx,
-            cfg.huber_delta, cfg.interp,
+            cfg.huber_delta, cfg.interp, gxr,
         )
         bad = err_now > c.err_last
         lam_up = c.lam * cfg.lambda_up
@@ -303,7 +319,11 @@ def compute_depth(
     # left_dep initialised to zero by the driver). Refinement runs on the
     # extracted point lanes (row-major first max_residuals, mirroring the
     # reference's gather at depth_estimate.cpp:106-116).
-    pts = extract_points(disp.inv_depth, sel, cfg.max_residuals)
+    # Selection cannot exceed blocks * per-block cap, so bound the lane count
+    # by that (the reference's max_residuals=80000 is looser than its own
+    # selection maximum of 40960).
+    cap = min(cfg.max_residuals, cfg.block_rows * cfg.block_cols * cfg.max_points_per_block)
+    pts = extract_points(disp.inv_depth, sel, cap)
     refined, resid, iters, cost = refine_depth_points(left, right, pts, cam, cfg)
 
     # Writeback + filtering (depth_estimate.cpp:176-197), per point lane.

@@ -95,11 +95,18 @@ def residual_jacobian_points(
     *,
     kf_intensity: jax.Array,
     interp: str = "floor",
+    grads: tuple | None = None,
 ) -> PointSystem:
     """Sparse equivalent of kernels.photometric.residual_jacobian.
 
     `kf_intensity` is the keyframe image value at each point (gathered once at
     keyframe creation, not per iteration).
+
+    `grads`, when given, is (gx, gy) — precomputed central-difference gradient
+    images of `img_cur`. Floor mode then samples them at the same integer
+    coordinates it samples the image (bit-identical result, 3 gathers instead
+    of 5); bilinear mode samples the gradients at the NEAREST pixel (the
+    Jacobian tolerates first-order approximation; 6 gathers instead of 12).
     """
     H, W = img_cur.shape
     d = pts.inv_depth
@@ -131,16 +138,26 @@ def residual_jacobian_points(
         xi = jnp.clip(uf.astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(vf.astype(jnp.int32), 0, H - 1)
         I2w = clip_gather_2d(img_cur, yi, xi)
-        gx = 0.5 * (
-            clip_gather_2d(img_cur, yi, xi + 1) - clip_gather_2d(img_cur, yi, xi - 1)
-        )
-        gy = 0.5 * (
-            clip_gather_2d(img_cur, yi + 1, xi) - clip_gather_2d(img_cur, yi - 1, xi)
-        )
+        if grads is not None:
+            gx = clip_gather_2d(grads[0], yi, xi)
+            gy = clip_gather_2d(grads[1], yi, xi)
+        else:
+            gx = 0.5 * (
+                clip_gather_2d(img_cur, yi, xi + 1) - clip_gather_2d(img_cur, yi, xi - 1)
+            )
+            gy = 0.5 * (
+                clip_gather_2d(img_cur, yi + 1, xi) - clip_gather_2d(img_cur, yi - 1, xi)
+            )
     elif interp == "bilinear":
         I2w = sample_bilinear(img_cur, u, v)
-        gx = 0.5 * (sample_bilinear(img_cur, u + 1.0, v) - sample_bilinear(img_cur, u - 1.0, v))
-        gy = 0.5 * (sample_bilinear(img_cur, u, v + 1.0) - sample_bilinear(img_cur, u, v - 1.0))
+        if grads is not None:
+            xi = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+            gx = clip_gather_2d(grads[0], yi, xi)
+            gy = clip_gather_2d(grads[1], yi, xi)
+        else:
+            gx = 0.5 * (sample_bilinear(img_cur, u + 1.0, v) - sample_bilinear(img_cur, u - 1.0, v))
+            gy = 0.5 * (sample_bilinear(img_cur, u, v + 1.0) - sample_bilinear(img_cur, u, v - 1.0))
     else:
         raise ValueError(f"unknown interp mode {interp!r}")
 

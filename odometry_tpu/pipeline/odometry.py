@@ -139,28 +139,40 @@ def step(
         )
     cur_pose = se3_compose(state.kf_pose, se3_inverse(track.T))
 
-    dres = compute_depth(left, right, cfg.camera, cfg.depth)
-    dpyr_cur = depth_pyramid(dres.inv_depth, n, smooth=False,
-                             indexing=cfg.tracker.depth_decimation)
-    track_cur = (
-        prepare_keyframe(pyr_cur, dpyr_cur, cfg.tracker)
-        if cfg.tracker.engine == "points"
-        else ()
-    )
-
     # Keyframe criterion (``:254-258``): per-axis rotation angles of the
     # RELATIVE pose + absolute translation components, weighted.
+    # Reference ordering: [angX, angY, angZ, tx, ty, tz].
     angles = jnp.abs(rotation_angles_xyz(track.T[:3, :3]))
     trans = jnp.abs(track.T[:3, 3])
-    motion = jnp.concatenate([jnp.stack([angles[0], trans[0]]),
-                              jnp.stack([angles[1], trans[1]]),
-                              jnp.stack([angles[2], trans[2]])])
-    # Reference ordering: [angX, angY, angZ, tx, ty, tz]
     motion_vec = jnp.stack([angles[0], angles[1], angles[2], trans[0], trans[1], trans[2]])
     weights = jnp.asarray(cfg.keyframe.weights, jnp.float32)
     motion_mag = jnp.dot(motion_vec, weights)
+    candidate = motion_mag > cfg.keyframe.motion_threshold
 
-    promote = (motion_mag > cfg.keyframe.motion_threshold) & dres.ok
+    def depth_products(_):
+        dres = compute_depth(left, right, cfg.camera, cfg.depth)
+        dpyr_cur = depth_pyramid(dres.inv_depth, n, smooth=False,
+                                 indexing=cfg.tracker.depth_decimation)
+        track_cur = (
+            prepare_keyframe(pyr_cur, dpyr_cur, cfg.tracker)
+            if cfg.tracker.engine == "points"
+            else ()
+        )
+        return dres, dpyr_cur, track_cur
+
+    if cfg.depth_every_frame:
+        dres, dpyr_cur, track_cur = depth_products(None)
+    else:
+        # Lazy frontend: only keyframe candidates pay for depth.
+        zeros = jax.eval_shape(depth_products, None)
+        skip = lambda _: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), zeros
+        )
+        dres, dpyr_cur, track_cur = jax.lax.cond(candidate, depth_products, skip, None)
+        # A skipped frame reports a healthy frontend (nothing was observed).
+        dres = dres._replace(ok=jnp.where(candidate, dres.ok, True))
+
+    promote = candidate & dres.ok
 
     def sel(new, old):
         return jax.tree_util.tree_map(

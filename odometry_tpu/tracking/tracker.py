@@ -37,6 +37,7 @@ from odometry_tpu.kernels.points import (
     normal_equations_points,
     residual_jacobian_points,
 )
+from odometry_tpu.solvers.linear6 import solve_spd6
 from odometry_tpu.solvers.robust import robust_weights
 
 
@@ -136,6 +137,12 @@ def _solve_level_points(
     max_iters: int,
     cfg: TrackerConfig,
 ):
+    # Gradient images once per level per frame; every LM iteration then needs
+    # only 3 (floor) / 6 (bilinear) gathers instead of 5 / 12.
+    from odometry_tpu.image.pyramid import central_gradients
+
+    grads = central_gradients(img_cur)
+
     def system(T):
         sys = residual_jacobian_points(
             kf_level.pts,
@@ -144,6 +151,7 @@ def _solve_level_points(
             T,
             kf_intensity=kf_level.intensity,
             interp=cfg.interp,
+            grads=grads,
         )
         w = robust_weights(
             cfg.robust,
@@ -184,11 +192,12 @@ def _lm_loop(system, T_init: jax.Array, max_iters: int, cfg: TrackerConfig):
         err_final = jnp.where(bad, c.err_final, err_now)
         active = ~(break_bad | break_good | no_residuals)
 
-        # Marquardt-damped 6x6 solve. Guarded so a singular/empty system cannot
-        # inject NaN into the pose carry even on the final (discarded) step.
+        # Marquardt-damped 6x6 solve (unrolled Cholesky; see solvers/linear6).
+        # Guarded so a singular/empty system cannot inject NaN into the pose
+        # carry even on the final (discarded) step.
         A = eqs.JtWJ + lam_new * jnp.diag(jnp.diag(eqs.JtWJ))
         A = A + (1e-12) * jnp.eye(6, dtype=A.dtype)
-        delta = jnp.linalg.solve(A, -eqs.JtWr)
+        delta = solve_spd6(A, -eqs.JtWr)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         inc = se3_compose(se3_exp(delta), current)
 

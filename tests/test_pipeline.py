@@ -121,6 +121,18 @@ def test_depth_failure_keeps_keyframe(sequence):
     assert np.allclose(np.asarray(state.kf_pyr[0]), kf_img_before)
 
 
+def test_lazy_depth_matches_eager_trajectory(sequence):
+    import dataclasses
+
+    _, poses, frames = sequence
+    res_eager = run_sequence(frames, CFG)
+    lazy_cfg = dataclasses.replace(CFG, depth_every_frame=False)
+    res_lazy = run_sequence(frames, lazy_cfg)
+    # Identical trajectories: skipped-depth frames never feed the tracker.
+    assert np.allclose(res_eager.poses, res_lazy.poses, atol=1e-5)
+    assert res_eager.keyframe_ids == res_lazy.keyframe_ids
+
+
 def test_rpe_metric_sane(sequence):
     _, poses, frames = sequence
     res = run_sequence(frames, CFG)

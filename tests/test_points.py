@@ -90,16 +90,28 @@ def test_point_system_matches_dense():
 
 def test_solve_pose_engines_agree():
     img_kf, inv, img_cur, T_true = _scene_pair()
-    cfg = TrackerConfig(num_levels=3, max_iterations=(10, 20, 30),
-                        depth_decimation="even", interp="bilinear")
     pyr_kf = gaussian_image_pyramid(img_kf, 3, True)
     pyr_cur = gaussian_image_pyramid(img_cur, 3, True)
     dpyr = depth_pyramid(inv, 3, indexing="even")
-    res_d = solve_pose(pyr_kf, dpyr, pyr_cur, CAM, cfg)
-    kf_levels = prepare_keyframe(pyr_kf, dpyr, cfg)
-    res_p = solve_pose_points(kf_levels, pyr_cur, CAM, cfg)
-    assert bool(res_d.ok) and bool(res_p.ok)
-    assert np.allclose(np.asarray(res_d.T), np.asarray(res_p.T), atol=1e-4)
+    # Floor mode: the point engine's precomputed-gradient sampling is
+    # bit-identical to the dense path -> near-exact pose agreement.
+    cfg_f = TrackerConfig(num_levels=3, max_iterations=(10, 20, 30),
+                          depth_decimation="even", interp="floor")
+    res_df = solve_pose(pyr_kf, dpyr, pyr_cur, CAM, cfg_f)
+    res_pf = solve_pose_points(prepare_keyframe(pyr_kf, dpyr, cfg_f), pyr_cur, CAM, cfg_f)
+    assert bool(res_df.ok) and bool(res_pf.ok)
+    # Same iteration counts/costs; tiny drift from f32 reduction order only.
+    assert np.allclose(np.asarray(res_df.T), np.asarray(res_pf.T), atol=5e-5)
+    for sd, sp in zip(res_df.stats, res_pf.stats):
+        assert int(sd.iters) == int(sp.iters)
+    # Bilinear mode: the point engine samples gradients at the nearest pixel
+    # (documented approximation) -> poses agree to sub-millimetre.
+    cfg_b = TrackerConfig(num_levels=3, max_iterations=(10, 20, 30),
+                          depth_decimation="even", interp="bilinear")
+    res_db = solve_pose(pyr_kf, dpyr, pyr_cur, CAM, cfg_b)
+    res_pb = solve_pose_points(prepare_keyframe(pyr_kf, dpyr, cfg_b), pyr_cur, CAM, cfg_b)
+    assert np.abs(np.asarray(res_db.T)[:3, 3] - np.asarray(res_pb.T)[:3, 3]).max() < 1e-3
+    assert np.abs(np.asarray(res_db.T)[:3, :3] - np.asarray(res_pb.T)[:3, :3]).max() < 1e-4
 
 
 def test_compute_depth_point_path_filters():
