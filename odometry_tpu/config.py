@@ -45,6 +45,12 @@ class TrackerConfig:
     lambda_max: float = 1e5
     lambda_min: float = 1e-5
     interp: str = "floor"  # "floor" (reference parity) | "bilinear"
+    # Early termination when the LM step's twist norm falls below this
+    # (0 = disabled == reference behaviour, which only stops on the
+    # err ratio and so burns whole iteration budgets on sub-quantization
+    # improvements). The pose cannot move perceptibly once the step is
+    # well under a milliradian/millimeter.
+    step_tol: float = 0.0
     # Depth-pyramid decimation phase: "odd" reproduces the reference's
     # image/depth pyramid misalignment (see image/pyramid.py); "even" aligns.
     depth_decimation: str = "odd"
@@ -162,9 +168,13 @@ def accurate_config() -> PipelineConfig:
 
 
 def fast_config() -> PipelineConfig:
-    """Throughput-oriented preset: bounded disparity search + improved warps."""
+    """Throughput-oriented preset: bounded search, sub-pixel warps, early stops,
+    lazy depth. Accuracy stays at accurate_config level (sub-pixel warps
+    converge in few iterations; the step tolerance only cuts the tail)."""
     return PipelineConfig(
-        tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
+        tracker=TrackerConfig(interp="bilinear", depth_decimation="even",
+                              step_tol=1e-5),
         depth=DepthConfig(max_disparity=192, interp="bilinear", lr_check=True,
-                          range_limited_search=True),
+                          range_limited_search=True, precision=0.99),
+        depth_every_frame=False,
     )

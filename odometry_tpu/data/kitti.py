@@ -43,13 +43,37 @@ def num_frames(root: str, seq: str) -> int:
 
 
 def stereo_frames(
-    root: str, seq: str = "00", start: int = 0, count: int | None = None
+    root: str, seq: str = "00", start: int = 0, count: int | None = None,
+    use_native: bool = True,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (left, right) float32 pairs for the sequence."""
+    """Yield (left, right) float32 pairs for the sequence.
+
+    With use_native (default) decoding runs in the C++ prefetch runtime
+    (odometry_tpu/native): worker threads inflate/unfilter PNGs ahead of the
+    consumer so IO overlaps device compute. Falls back to PIL.
+    """
     n = num_frames(root, seq)
     end = n if count is None else min(n, start + count)
-    for i in range(start, end):
-        lp, rp = frame_paths(root, seq, i)
+    paths = [frame_paths(root, seq, i) for i in range(start, end)]
+    if not paths:
+        return
+    if use_native:
+        try:
+            from odometry_tpu.data.native_loader import (
+                NativeLoaderUnavailable,
+                StereoPrefetcher,
+                png_read_gray,
+            )
+
+            probe = png_read_gray(paths[0][0])
+            h, w = probe.shape
+            yield from StereoPrefetcher(
+                [p[0] for p in paths], [p[1] for p in paths], h, w
+            )
+            return
+        except (NativeLoaderUnavailable, IOError):
+            pass  # fall back to PIL below
+    for lp, rp in paths:
         yield load_gray(lp), load_gray(rp)
 
 

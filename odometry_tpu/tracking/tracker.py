@@ -200,6 +200,8 @@ def _lm_loop(system, T_init: jax.Array, max_iters: int, cfg: TrackerConfig):
         delta = solve_spd6(A, -eqs.JtWr)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         inc = se3_compose(se3_exp(delta), current)
+        if cfg.step_tol > 0:
+            active = active & (jnp.max(jnp.abs(delta)) >= cfg.step_tol)
 
         return _Carry(
             inc=inc,

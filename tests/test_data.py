@@ -1,0 +1,103 @@
+"""Dataset loaders against synthetic on-disk fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from odometry_tpu.data import kitti, tum
+from odometry_tpu.data.middlebury import load_pair
+from odometry_tpu.eval.export import save_kitti_poses, load_kitti_poses
+
+
+def _mk_kitti(tmp_path, n=4, h=24, w=32):
+    rng = np.random.default_rng(0)
+    base = tmp_path / "dataset" / "sequences" / "00"
+    (base / "image_0").mkdir(parents=True)
+    (base / "image_1").mkdir(parents=True)
+    (tmp_path / "poses").mkdir()
+    imgs = []
+    for i in range(n):
+        a = (rng.random((h, w)) * 255).astype(np.uint8)
+        b = (rng.random((h, w)) * 255).astype(np.uint8)
+        Image.fromarray(a, "L").save(base / "image_0" / f"{i:06d}.png")
+        Image.fromarray(b, "L").save(base / "image_1" / f"{i:06d}.png")
+        imgs.append((a, b))
+    poses = []
+    with open(tmp_path / "poses" / "00.txt", "w") as f:
+        for i in range(n):
+            P = np.hstack([np.eye(3), [[i * 0.5], [0], [0]]]).astype(np.float32)
+            poses.append(P)
+            f.write(" ".join(str(v) for v in P.reshape(-1)) + "\n")
+    with open(base / "calib.txt", "w") as f:
+        f.write("P0: 700.0 0 16.0 0 0 700.0 12.0 0 0 0 1 0\n")
+        f.write("P1: 700.0 0 16.0 -350.0 0 700.0 12.0 0 0 0 1 0\n")
+    return imgs, np.stack(poses)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_kitti_loader(tmp_path, use_native):
+    imgs, poses = _mk_kitti(tmp_path)
+    root = str(tmp_path)
+    assert kitti.num_frames(root, "00") == 4
+    frames = list(kitti.stereo_frames(root, "00", use_native=use_native))
+    assert len(frames) == 4
+    for (l, r), (a, b) in zip(frames, imgs):
+        assert l.dtype == np.float32
+        assert np.array_equal(l, a.astype(np.float32))
+        assert np.array_equal(r, b.astype(np.float32))
+    gt = kitti.load_poses(root, "00")
+    assert gt.shape == (4, 3, 4)
+    assert np.isclose(gt[2, 0, 3], 1.0)
+    cam = kitti.load_calib(root, "00")
+    assert cam.fx == 700.0
+    assert np.isclose(cam.baseline, 0.5)
+    assert cam.height == 24 and cam.width == 32
+
+
+def test_kitti_pose_export_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, :3, 3] = rng.random((5, 3))
+    path = str(tmp_path / "poses.txt")
+    save_kitti_poses(path, poses)
+    back = load_kitti_poses(path)
+    assert np.allclose(back, poses[:, :3, :], atol=1e-5)
+
+
+def test_tum_loader(tmp_path):
+    rng = np.random.default_rng(2)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    lines = []
+    for i in range(3):
+        g = (rng.random((20, 24)) * 255).astype(np.uint8)
+        d = (rng.random((20, 24)) * 5000 * 2).astype(np.uint16)
+        Image.fromarray(g, "L").save(tmp_path / "rgb" / f"{i}.png")
+        Image.fromarray(d, "I;16").save(tmp_path / "depth" / f"{i}.png")
+        lines.append(f"{i}.0 rgb/{i}.png {i}.0 depth/{i}.png")
+    (tmp_path / "associated.txt").write_text("\n".join(lines))
+    (tmp_path / "groundtruth.txt").write_text(
+        "# header\n0.0 0 0 0 0 0 0 1\n1.0 1 0 0 0 0 0 1\n"
+    )
+    frames = list(tum.rgbd_frames(str(tmp_path)))
+    assert len(frames) == 3
+    gray, inv = frames[0]
+    assert gray.shape == (20, 24)
+    # inverse depth: 1/(raw/5000), zeros stay zero
+    assert inv.dtype == np.float32
+    ts, gt = tum.load_groundtruth(str(tmp_path))
+    assert gt.shape == (2, 4, 4)
+    assert np.allclose(gt[1][:3, 3], [1, 0, 0])
+
+
+def test_middlebury_loader(tmp_path):
+    rng = np.random.default_rng(3)
+    a = (rng.random((16, 20)) * 255).astype(np.uint8)
+    Image.fromarray(a, "L").save(tmp_path / "view1.png")
+    Image.fromarray(a, "L").save(tmp_path / "view5.png")
+    Image.fromarray((a // 4).astype(np.uint8), "L").save(tmp_path / "disp1.png")
+    l, r, d = load_pair(str(tmp_path), disp_scale=2.0)
+    assert l.shape == (16, 20)
+    assert np.allclose(d, (a // 4) / 2.0)
