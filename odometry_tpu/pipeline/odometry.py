@@ -185,8 +185,14 @@ def step(
         kf_track=sel(track_cur, state.kf_track),
         kf_valid=sel(dres.valid, state.kf_valid),
         kf_pose=sel(cur_pose, state.kf_pose),
-        # Both branches warm-start with pose_to_keyframe (:261, :268).
-        pose_init=track.T,
+        # Parity: both branches warm-start with pose_to_keyframe (:261, :268).
+        # With reset_on_promote, promotion restarts the relative pose at
+        # identity (the reference's own TODO at :253).
+        pose_init=(
+            sel(se3_identity(dtype=track.T.dtype), track.T)
+            if cfg.keyframe.reset_on_promote
+            else track.T
+        ),
         cur_pose=cur_pose,
         frame_id=state.frame_id + 1,
         kf_count=state.kf_count + promote.astype(jnp.int32),

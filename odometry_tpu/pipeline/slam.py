@@ -1,0 +1,149 @@
+"""Full SLAM loop: odometry + keyframe map + windowed BA, host-orchestrated.
+
+Composes the jitted odometry step with the mapping backend the reference only
+sketched: every promoted keyframe is inserted into the ring-buffer
+KeyframeStore, and every `ba_every` keyframes the newest `window` of them is
+refined by windowed photometric bundle adjustment (motion-only by default —
+depths come from calibrated stereo and anchor the gauge). The live tracking
+state is re-anchored to the refined keyframe pose, so BA corrections
+propagate into the ongoing trajectory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odometry_tpu.camera.pinhole import Pinhole
+from odometry_tpu.config import PipelineConfig
+from odometry_tpu.mapping.ba import BAConfig, BAProblem, ba_solve
+from odometry_tpu.mapping.keyframe import (
+    KeyframeStore,
+    create_store,
+    insert_keyframe,
+    window_slots,
+    update_poses,
+)
+from odometry_tpu.pipeline.odometry import init, step
+
+
+@dataclasses.dataclass
+class SlamResult:
+    poses: np.ndarray  # (N, 4, 4)
+    keyframe_ids: list
+    store: KeyframeStore
+    num_frames: int
+    failed_at: Optional[int]
+    ba_runs: int
+    fps: float
+
+
+def run_slam(
+    frames: Iterable,
+    cfg: PipelineConfig,
+    *,
+    map_capacity: int = 32,
+    window: int = 5,
+    ba_every: int = 1,
+    ba_cfg: BAConfig | None = None,
+    init_pose: np.ndarray | None = None,
+) -> SlamResult:
+    """Run odometry with map maintenance and in-loop window BA."""
+    import time
+
+    it = iter(frames)
+    left0, right0 = next(it)
+    pose0 = jnp.asarray(init_pose) if init_pose is not None else None
+    jit_init = jax.jit(lambda l, r: init(l, r, cfg, pose0))
+    jit_step = jax.jit(lambda s, l, r: step(s, l, r, cfg))
+
+    cam = Pinhole.create(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    bacfg = ba_cfg or BAConfig(window=window, iters=4, fix_depths=True)
+
+    state, ok0 = jit_init(jnp.asarray(left0), jnp.asarray(right0))
+    if not bool(ok0):
+        raise RuntimeError("Init 0-th frame failed! (depth frontend)")
+
+    cap_pts = cfg.tracker.point_capacity
+    store = create_store(map_capacity, cap_pts)
+    kf0 = state.kf_track[0]
+    store = insert_keyframe(store, kf0.pts, kf0.intensity, state.kf_pose, 0)
+    kf_images = [np.asarray(state.kf_pyr[0])]
+
+    jit_insert = jax.jit(insert_keyframe)
+    jit_ba = jax.jit(lambda p: ba_solve(p, cam, bacfg))
+
+    poses = [np.asarray(state.cur_pose)]
+    keyframe_ids = [0]
+    failed_at = None
+    ba_runs = 0
+    kf_since_ba = 0
+    t0 = time.perf_counter()
+    for frame_id, (left, right) in enumerate(it, start=1):
+        state, out = jit_step(state, jnp.asarray(left), jnp.asarray(right))
+        poses.append(np.asarray(out.cur_pose))
+        if not bool(out.depth_ok) and failed_at is None:
+            failed_at = frame_id
+            break
+        if bool(out.promoted):
+            keyframe_ids.append(frame_id)
+            kf = state.kf_track[0]
+            store = jit_insert(store, kf.pts, kf.intensity, state.kf_pose, frame_id)
+            kf_images.append(np.asarray(state.kf_pyr[0]))
+            if len(kf_images) > map_capacity:
+                kf_images.pop(0)
+            kf_since_ba += 1
+            n_occ = int(jnp.minimum(store.count, map_capacity))
+            if kf_since_ba >= ba_every and n_occ >= window:
+                slots = window_slots(store, window)
+                slots_np = np.asarray(slots)
+                problem = BAProblem(
+                    images=jnp.stack([kf_images[i] for i in _window_image_idx(
+                        store, slots_np, len(kf_images))]),
+                    xs=store.xs[slots],
+                    ys=store.ys[slots],
+                    inv_depth=store.inv_depth[slots],
+                    intensity=store.intensity[slots],
+                    point_valid=store.point_valid[slots],
+                    pose=store.pose[slots],
+                    kf_valid=store.occupied[slots],
+                )
+                res = jit_ba(problem)
+                store = update_poses(store, slots, res.pose)
+                # Re-anchor the live state to the refined newest keyframe.
+                refined_kf_pose = res.pose[-1]
+                state = dataclasses.replace(state, kf_pose=refined_kf_pose)
+                ba_runs += 1
+                kf_since_ba = 0
+    total = time.perf_counter() - t0
+    n = len(poses)
+    return SlamResult(
+        poses=np.stack(poses),
+        keyframe_ids=keyframe_ids,
+        store=store,
+        num_frames=n,
+        failed_at=failed_at,
+        ba_runs=ba_runs,
+        fps=(n - 1) / total if n > 1 else 0.0,
+    )
+
+
+def _window_image_idx(store: KeyframeStore, slots_np: np.ndarray, num_images: int):
+    """Map window slots to indices in the host-side keyframe image list.
+
+    The image list mirrors insertion order (ring semantics): the last
+    `num_images` inserted keyframes. Slot k holds insertion number
+    (count - n_occ + position-in-ring); we recover ordering via frame_id.
+    """
+    fids = np.asarray(store.frame_id)[slots_np]
+    order = {fid: i for i, fid in enumerate(sorted(np.asarray(store.frame_id)[
+        np.asarray(store.occupied)
+    ]))}
+    # Host image list is sorted by insertion too; offset to its tail window.
+    all_sorted = sorted(order)
+    base = len(all_sorted) - num_images
+    return [all_sorted.index(f) - base for f in fids]
