@@ -44,7 +44,11 @@ class TrackerConfig:
     lambda_down: float = 5.0
     lambda_max: float = 1e5
     lambda_min: float = 1e-5
-    interp: str = "floor"  # "floor" (reference parity) | "bilinear"
+    # Warp sampling: "floor" (reference parity, integer warp), "bilinear"
+    # (sub-pixel, gather-based), or "mm" (sub-pixel via gather-free MXU
+    # one-hot matmuls, bf16 image quantization — the TPU-fast path; gradients
+    # are bilinearly interpolated at the warp rather than nearest-gathered).
+    interp: str = "floor"
     # Early termination when the LM step's twist norm falls below this
     # (0 = disabled == reference behaviour, which only stops on the
     # err ratio and so burns whole iteration budgets on sub-quantization
@@ -65,6 +69,11 @@ class TrackerConfig:
     # tight bound (its max_residuals=80000 is never reachable). Gather cost
     # scales with capacity — keep it snug.
     point_capacity: int = 40960
+    # Capacity-truncation order: "row" = reference parity (first N valid in
+    # row-major order); "spread" = 8x8 phase-interleaved enumeration, so a
+    # truncated selection is a spatially uniform subsample (required when
+    # point_capacity is set below the typical valid count).
+    point_order: str = "row"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,7 +106,8 @@ class DepthConfig:
     # bounds compute for real-time configs.
     max_disparity: int | None = None
     # Refinement warp sampling: "floor" = reference parity (integer warp,
-    # +-0.5 px systematic bias); "bilinear" = true sub-pixel refinement.
+    # +-0.5 px systematic bias); "bilinear" = true sub-pixel refinement;
+    # "mm" = sub-pixel via gather-free MXU matmuls (TPU-fast).
     interp: str = "floor"
     # Beyond-reference: left-right cycle-consistency check on the SSD winner
     # (nearly free in the cost-matrix formulation; kills accidental matches).
@@ -110,6 +120,8 @@ class DepthConfig:
     range_limited_search: bool = False
     # SSD search backend: "auto" = Pallas fused kernel on TPU, XLA elsewhere.
     search_backend: str = "auto"
+    # Refinement-lane truncation order (see TrackerConfig.point_order).
+    point_order: str = "row"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,10 +195,12 @@ def fast_config() -> PipelineConfig:
     lazy depth. Accuracy stays at accurate_config level (sub-pixel warps
     converge in few iterations; the step tolerance only cuts the tail)."""
     return PipelineConfig(
-        tracker=TrackerConfig(interp="bilinear", depth_decimation="even",
-                              step_tol=1e-5),
-        depth=DepthConfig(max_disparity=192, interp="bilinear", lr_check=True,
-                          range_limited_search=True, precision=0.99),
+        tracker=TrackerConfig(interp="mm", depth_decimation="even",
+                              step_tol=1e-5, point_capacity=8192,
+                              point_order="spread"),
+        depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
+                          range_limited_search=True, precision=0.99,
+                          max_residuals=16384, point_order="spread"),
         keyframe=KeyframeConfig(reset_on_promote=True),
         depth_every_frame=False,
     )

@@ -86,7 +86,7 @@ def _eval_system(
     if interp == "floor":
         r = left - clip_gather_2d(right, ys, wx)
         g = tx_fx * 0.5 * (clip_gather_2d(right, ys, wx + 1) - clip_gather_2d(right, ys, wx - 1))
-    elif interp == "bilinear":
+    elif interp in ("bilinear", "mm"):  # dense path: mm == bilinear semantics
         from odometry_tpu.image.sampling import sample_bilinear
 
         uw = jnp.clip(warped_xf, 1.0, jnp.float32(W - 2))
@@ -173,19 +173,31 @@ def _eval_system_points(
     huber_delta: float,
     interp: str,
     gxr: jax.Array | None = None,
+    chan: jax.Array | None = None,
 ):
     """Sparse ``ComputeResidualJacobian``: all arrays are (cap,) point lanes.
 
     `gxr` is the precomputed central x-gradient of `right`; sampling it at the
     warped column reproduces the reference's 0.5*(R[wx+1]-R[wx-1]) exactly
     while halving the per-iteration gather count.
+
+    interp="mm" samples the (right, gxr) stack `chan` gather-free via MXU
+    one-hot matmuls (rows are exact: the stereo warp never leaves the
+    epipolar line, so the vertical interpolation weight is a one-hot).
     """
     W = width
     warped_xf = xs_f - tx_fx * d
     warped_x = jnp.floor(warped_xf).astype(jnp.int32)
     in_bounds = (warped_x >= 2) & (warped_x <= W - 2) & pvalid
     wx = jnp.clip(warped_x, 1, W - 2)
-    if interp == "floor":
+    if interp == "mm":
+        from odometry_tpu.image.sampling import sample_channels_mm
+
+        uw = jnp.clip(warped_xf, 1.0, jnp.float32(W - 2))
+        Rw, Gw = sample_channels_mm(chan, uw, ys_i.astype(jnp.float32))
+        r = left_I - Rw
+        g = tx_fx * Gw
+    elif interp == "floor":
         r = left_I - clip_gather_2d(right, ys_i, wx)
         if gxr is not None:
             g = tx_fx * clip_gather_2d(gxr, ys_i, wx)
@@ -234,6 +246,7 @@ def refine_depth_points(
     from odometry_tpu.image.pyramid import central_gradients
 
     gxr, _ = central_gradients(right)
+    chan = jnp.stack([right, gxr]) if cfg.interp == "mm" else None
 
     def cond(c: _RefineCarry):
         return c.active & (c.it < cfg.max_iters)
@@ -241,7 +254,7 @@ def refine_depth_points(
     def body(c: _RefineCarry):
         jtwj, b, resid, err_now = _eval_system_points(
             c.tmp, left_I, right, ys_i, xs_f, pts.valid, W, tx_fx,
-            cfg.huber_delta, cfg.interp, gxr,
+            cfg.huber_delta, cfg.interp, gxr, chan,
         )
         bad = err_now > c.err_last
         lam_up = c.lam * cfg.lambda_up
@@ -324,7 +337,7 @@ def compute_depth(
     # by that (the reference's max_residuals=80000 is looser than its own
     # selection maximum of 40960).
     cap = min(cfg.max_residuals, cfg.block_rows * cfg.block_cols * cfg.max_points_per_block)
-    pts = extract_points(disp.inv_depth, sel, cap)
+    pts = extract_points(disp.inv_depth, sel, cap, order=cfg.point_order)
     refined, resid, iters, cost = refine_depth_points(left, right, pts, cam, cfg)
 
     # Writeback + filtering (depth_estimate.cpp:176-197), per point lane.

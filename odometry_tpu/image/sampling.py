@@ -62,6 +62,78 @@ def sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     return top * (1.0 - fy) + bot * fy
 
 
+def sample_channels_mm(
+    imgs: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Gather-free bilinear sampling of C channels at N points via the MXU.
+
+    ``sample(I, u, v) = e_v(v)^T @ I @ e_u(u)`` where e_u/e_v are the 2-tap
+    bilinear interpolation one-hot vectors. Stage 1 contracts the width axis
+    for all channels at once ((C*H, W) @ (W, N) matmul); stage 2 reduces the
+    height axis with per-point weights (elementwise + sum).
+
+    TPU rationale: XLA's random gather costs ~13 cycles/element + ~80 us
+    fixed per op on v5e, which made gathers >95% of the direct-alignment
+    iteration. This formulation is dense regular math: ~2x C*H*W*N/row MACs
+    on the systolic array + bandwidth for the interpolation matrices;
+    measured ~8x faster than the 6-gather path at N=8192 (tools/microbench8).
+
+    `dtype` controls matmul input precision: bfloat16 quantizes 0-255 images
+    by up to ~1 intensity level (fine for robust tracking, validated on the
+    accuracy harness); float32 uses HIGHEST-precision passes at ~2x cost.
+
+    Args:
+      imgs: (C, H, W) channel stack sampled at the same points.
+      u, v: (N,) continuous pixel coordinates, clipped to the image.
+
+    Returns:
+      (C, N) sampled values, float32.
+    """
+    C, H, W = imgs.shape
+    u = jnp.clip(u, 0.0, W - 1.0)
+    v = jnp.clip(v, 0.0, H - 1.0)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0).astype(dtype)
+    fy = (v - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    precision = _MM_PRECISION if dtype == jnp.float32 else None
+    cols = jax.lax.broadcasted_iota(jnp.int32, (W,) + u.shape, 0)
+    Eu = jnp.where(
+        cols == x0i[None, :],
+        (1 - fx)[None, :],
+        jnp.where(cols == x0i[None, :] + 1, fx[None, :], jnp.asarray(0, dtype)),
+    ).astype(dtype)
+    M = jax.lax.dot_general(
+        imgs.astype(dtype).reshape(C * H, W),
+        Eu,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).reshape(C, H, -1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H,) + v.shape, 0)
+    Ev = jnp.where(
+        rows == y0i[None, :],
+        (1 - fy)[None, :],
+        jnp.where(rows == y0i[None, :] + 1, fy[None, :], 0.0),
+    )
+    return jnp.sum(M * Ev[None], axis=1)
+
+
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def sample_bilinear_mm(img: jax.Array, u: jax.Array, v: jax.Array,
+                       dtype=jnp.bfloat16) -> jax.Array:
+    """Single-channel :func:`sample_channels_mm`."""
+    return sample_channels_mm(img[None], u, v, dtype)[0]
+
+
 def remap_bilinear(img: jax.Array, map_u: jax.Array, map_v: jax.Array) -> jax.Array:
     """cv::remap equivalent: dst[y, x] = img(map_v[y,x], map_u[y,x]) bilinear.
 

@@ -89,7 +89,7 @@ def residual_jacobian(
         gy = 0.5 * (
             clip_gather_2d(img_cur, yi + 1, xi) - clip_gather_2d(img_cur, yi - 1, xi)
         )
-    elif interp == "bilinear":
+    elif interp in ("bilinear", "mm"):  # dense path: mm == bilinear semantics
         I2w = sample_bilinear(img_cur, u, v)
         gx = 0.5 * (sample_bilinear(img_cur, u + 1.0, v) - sample_bilinear(img_cur, u - 1.0, v))
         gy = 0.5 * (sample_bilinear(img_cur, u, v + 1.0) - sample_bilinear(img_cur, u, v - 1.0))

@@ -39,20 +39,53 @@ def extract_points(
     values: jax.Array,
     mask: jax.Array,
     capacity: int,
+    order: str = "row",
 ) -> PointSet:
     """Gather pixels where `mask` into a capacity-bounded PointSet.
 
-    Row-major order, first `capacity` kept (jnp.nonzero(..., size=) semantics).
+    order="row": row-major, first `capacity` kept (jnp.nonzero(..., size=)
+    semantics) — matches the reference's first-N gather
+    (``depth_estimate.cpp:106-116``). Under truncation this biases selection
+    to the top of the image, which skews the tracked geometry.
+
+    order="spread": enumerate pixels by 8x8 phase class (all pixels at
+    position (y%8, x%8) == (0,0) across the whole image first, then (0,1),
+    ...), so the first `capacity` valid pixels form a spatially uniform
+    subsample — safe to truncate aggressively. Implemented as a blocked
+    transpose (dense relayout, no gathers).
     """
     H, W = values.shape
-    flat_mask = mask.reshape(-1)
-    (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
-    count = jnp.minimum(jnp.sum(flat_mask), capacity).astype(jnp.int32)
+    if order == "spread":
+        t = 8
+        Hp, Wp = -(-H // t) * t, -(-W // t) * t
+        padded_m = jnp.pad(mask, ((0, Hp - H), (0, Wp - W)))
+        padded_v = jnp.pad(values, ((0, Hp - H), (0, Wp - W)))
+        nby, nbx = Hp // t, Wp // t
+        # (by, py, bx, px) -> (py, px, by, bx)
+        perm_m = padded_m.reshape(nby, t, nbx, t).transpose(1, 3, 0, 2).reshape(-1)
+        perm_v = padded_v.reshape(nby, t, nbx, t).transpose(1, 3, 0, 2).reshape(-1)
+        (idx,) = jnp.nonzero(perm_m, size=capacity, fill_value=0)
+        count = jnp.minimum(jnp.sum(perm_m), capacity).astype(jnp.int32)
+        py = idx // (t * nby * nbx)
+        r1 = idx % (t * nby * nbx)
+        px = r1 // (nby * nbx)
+        r2 = r1 % (nby * nbx)
+        by = r2 // nbx
+        bx = r2 % nbx
+        ys = (by * t + py).astype(jnp.float32)
+        xs = (bx * t + px).astype(jnp.float32)
+        vals = jnp.take(perm_v, idx)
+    elif order == "row":
+        flat_mask = mask.reshape(-1)
+        (idx,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
+        count = jnp.minimum(jnp.sum(flat_mask), capacity).astype(jnp.int32)
+        ys = (idx // W).astype(jnp.float32)
+        xs = (idx % W).astype(jnp.float32)
+        vals = jnp.take(values.reshape(-1), idx)
+    else:
+        raise ValueError(f"unknown extraction order {order!r}")
     lane = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
     valid = lane < count
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    vals = jnp.take(values.reshape(-1), idx)
     return PointSet(xs, ys, vals, valid, count)
 
 
@@ -61,6 +94,7 @@ def depth_point_pyramid(
     boundary: int,
     min_inv_depth: float,
     capacity: int,
+    order: str = "row",
 ):
     """Per-level PointSets from an inverse-depth pyramid.
 
@@ -77,7 +111,7 @@ def depth_point_pyramid(
         )
         mask = border & (jnp.abs(dep) >= min_inv_depth)
         cap = max(min(capacity >> (2 * l), H * W), 8)
-        out.append(extract_points(dep, mask, cap))
+        out.append(extract_points(dep, mask, cap, order=order))
     return tuple(out)
 
 
@@ -96,6 +130,7 @@ def residual_jacobian_points(
     kf_intensity: jax.Array,
     interp: str = "floor",
     grads: tuple | None = None,
+    chan: jax.Array | None = None,
 ) -> PointSystem:
     """Sparse equivalent of kernels.photometric.residual_jacobian.
 
@@ -107,6 +142,13 @@ def residual_jacobian_points(
     coordinates it samples the image (bit-identical result, 3 gathers instead
     of 5); bilinear mode samples the gradients at the NEAREST pixel (the
     Jacobian tolerates first-order approximation; 6 gathers instead of 12).
+
+    interp="mm" is the TPU-fast path: gather-free bilinear sampling of
+    (image, gx, gy) via MXU one-hot matmuls (see
+    :func:`odometry_tpu.image.sampling.sample_channels_mm`); gradients are
+    bilinearly interpolated at the warp (higher quality than the nearest-pixel
+    gather modes). `chan` must then be the precomputed (3, H, W) stack
+    ``[img_cur, gx, gy]`` (built once per level, reused across LM iterations).
     """
     H, W = img_cur.shape
     d = pts.inv_depth
@@ -148,6 +190,15 @@ def residual_jacobian_points(
             gy = 0.5 * (
                 clip_gather_2d(img_cur, yi + 1, xi) - clip_gather_2d(img_cur, yi - 1, xi)
             )
+    elif interp == "mm":
+        if chan is None:
+            from odometry_tpu.image.pyramid import central_gradients
+
+            g = grads if grads is not None else central_gradients(img_cur)
+            chan = jnp.stack([img_cur, g[0], g[1]])
+        from odometry_tpu.image.sampling import sample_channels_mm
+
+        I2w, gx, gy = sample_channels_mm(chan, u, v)
     elif interp == "bilinear":
         I2w = sample_bilinear(img_cur, u, v)
         if grads is not None:

@@ -72,7 +72,8 @@ def prepare_keyframe(
     iteration, lm_optimizer.cpp:190-193).
     """
     ppyr = depth_point_pyramid(
-        dpyr_kf, cfg.boundary, cfg.min_inv_depth_valid, cfg.point_capacity
+        dpyr_kf, cfg.boundary, cfg.min_inv_depth_valid, cfg.point_capacity,
+        order=cfg.point_order,
     )
     levels = []
     for l, pts in enumerate(ppyr):
@@ -138,10 +139,12 @@ def _solve_level_points(
     cfg: TrackerConfig,
 ):
     # Gradient images once per level per frame; every LM iteration then needs
-    # only 3 (floor) / 6 (bilinear) gathers instead of 5 / 12.
+    # only 3 (floor) / 6 (bilinear) gathers — or zero gathers in "mm" mode,
+    # which samples the precomputed (img, gx, gy) stack via MXU matmuls.
     from odometry_tpu.image.pyramid import central_gradients
 
     grads = central_gradients(img_cur)
+    chan = jnp.stack([img_cur, grads[0], grads[1]]) if cfg.interp == "mm" else None
 
     def system(T):
         sys = residual_jacobian_points(
@@ -152,6 +155,7 @@ def _solve_level_points(
             kf_intensity=kf_level.intensity,
             interp=cfg.interp,
             grads=grads,
+            chan=chan,
         )
         w = robust_weights(
             cfg.robust,

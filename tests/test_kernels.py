@@ -270,3 +270,58 @@ def test_disparity_recovers_ground_truth(scene_frames):
     # Integer-pixel search: within 1 px of GT for the vast majority.
     assert np.median(err) <= 1.0
     assert (err <= 2.0).mean() > 0.9
+
+
+def test_mm_sampler_matches_gather_bilinear():
+    """sample_channels_mm == sample_bilinear exactly at f32, ~1 level at bf16."""
+    from odometry_tpu.image.sampling import sample_bilinear, sample_channels_mm
+
+    key = jax.random.PRNGKey(3)
+    H, W, N = 61, 143, 700
+    img = jax.random.uniform(key, (H, W), jnp.float32) * 255.0
+    gx = jax.random.normal(key, (H, W), jnp.float32) * 20.0
+    ku, kv = jax.random.split(key)
+    u = jax.random.uniform(ku, (N,), jnp.float32) * (W - 1)
+    v = jax.random.uniform(kv, (N,), jnp.float32) * (H - 1)
+
+    ref_i = np.asarray(sample_bilinear(img, u, v))
+    ref_g = np.asarray(sample_bilinear(gx, u, v))
+    got32 = np.asarray(sample_channels_mm(jnp.stack([img, gx]), u, v, dtype=jnp.float32))
+    np.testing.assert_allclose(got32[0], ref_i, atol=1e-4)
+    np.testing.assert_allclose(got32[1], ref_g, atol=1e-4)
+
+    got16 = np.asarray(sample_channels_mm(jnp.stack([img, gx]), u, v))
+    assert np.max(np.abs(got16[0] - ref_i)) < 2.0  # bf16 image quantization
+    assert np.max(np.abs(got16[1] - ref_g)) < 0.5
+
+
+def test_extract_points_spread_uniform_under_truncation():
+    """Spread order keeps a truncated selection spatially uniform."""
+    from odometry_tpu.kernels.points import extract_points
+
+    H, W = 64, 100
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random((H, W)) < 0.5)
+    values = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+
+    cap = 256
+    pts = extract_points(values, mask, cap, order="spread")
+    ys = np.asarray(pts.ys).astype(int)
+    xs = np.asarray(pts.xs).astype(int)
+    val = np.asarray(pts.valid)
+    assert val.sum() == cap  # far more than cap valid pixels exist
+    # Every returned point is genuinely selected and carries its value.
+    m = np.asarray(mask)
+    v = np.asarray(values)
+    assert m[ys[val], xs[val]].all()
+    np.testing.assert_allclose(np.asarray(pts.inv_depth)[val], v[ys[val], xs[val]])
+    # Spatial uniformity: both halves of the image get close to half the points.
+    top = (ys[val] < H // 2).mean()
+    left_frac = (xs[val] < W // 2).mean()
+    assert 0.35 < top < 0.65
+    assert 0.35 < left_frac < 0.65
+    # Row order under the same truncation is heavily top-biased (sanity check
+    # that spread actually changes behaviour).
+    pts_row = extract_points(values, mask, cap, order="row")
+    ys_row = np.asarray(pts_row.ys).astype(int)[np.asarray(pts_row.valid)]
+    assert (ys_row < H // 2).mean() > 0.95
