@@ -58,13 +58,23 @@ def cmd_run_kitti(args):
     if gt is not None:
         init_pose = np.eye(4, dtype=np.float32)
         init_pose[:3, :] = gt[0]
-    res = run_sequence(frames, cfg, init_pose=init_pose)
+    ckpt = None
+    if args.checkpoint_every and args.out:
+        os.makedirs(args.out, exist_ok=True)
+        ckpt = os.path.join(args.out, f"{args.seq}_checkpoint.npz")
+    res = run_sequence(
+        frames, cfg, init_pose=init_pose,
+        checkpoint_path=ckpt, checkpoint_every=args.checkpoint_every,
+        resume=args.resume, collect_vis=bool(args.dump_vis and args.out),
+    )
 
     out = {
         "num_frames": res.num_frames,
         "fps": round(res.fps, 2),
         "keyframes": len(res.keyframe_ids),
         "failed_at": res.failed_at,
+        "lost_frames": res.lost_ids,
+        "stages": {k: round(v["mean_ms"], 3) for k, v in res.stage_report.items()},
     }
     if gt is not None:
         n = res.num_frames
@@ -78,6 +88,17 @@ def cmd_run_kitti(args):
         save_kitti_poses(os.path.join(args.out, f"{args.seq}.txt"), res.poses)
         if gt is not None:
             save_kitti_poses(os.path.join(args.out, f"{args.seq}_gt.txt"), gt[: res.num_frames])
+        if args.dump_vis and res.vis:
+            from odometry_tpu.eval.export import save_keyframe_dumps
+
+            save_keyframe_dumps(
+                os.path.join(args.out, "vis"),
+                images=[v[0] for v in res.vis],
+                disparities=[v[1] for v in res.vis],
+                masks=[v[2] for v in res.vis],
+                keyframe_ids=res.keyframe_ids[: len(res.vis)],
+                disparity_scale=cfg.camera.fx * cfg.camera.baseline,
+            )
     print(json.dumps(out))
 
 
@@ -95,10 +116,34 @@ def cmd_run_tum(args):
     cfg = tum_rgbd_config().tracker
     cam_cfg = tum_rgbd_config().camera
     cam = Pinhole.create(cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy)
-    frames = list(tum.rgbd_frames(args.data, count=args.frames))
-    if not frames:
+    assoc = tum.read_associations_full(args.data)
+    if args.frames:
+        assoc = assoc[: args.frames]
+    if not assoc:
         print("no frames found", file=sys.stderr)
         return 1
+    frames = []
+    for a in assoc:
+        gray = tum.load_gray(a.gray_path)
+        depth = tum.load_depth(a.depth_path)
+        inv = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-6), 0.0).astype(np.float32)
+        frames.append((gray, inv))
+
+    # Ground truth: from the association file when it carries poses
+    # (reference 12-column format), else timestamp-associated from
+    # groundtruth.txt (test_optimizer.cpp:116-157 semantics).
+    gt_poses = None
+    gt_matched = None
+    if assoc[0].gt_pose is not None:
+        gt_poses = np.stack([a.gt_pose for a in assoc])
+        gt_matched = np.ones(len(assoc), bool)
+    else:
+        try:
+            ts, gt = tum.load_groundtruth(args.data)
+            frame_ts = np.asarray([a.gray_ts for a in assoc])
+            gt_poses, gt_matched = tum.associate_groundtruth(frame_ts, ts, gt)
+        except FileNotFoundError:
+            pass
 
     # Frame-to-frame tracking with sensor depth (test_optimizer.cpp behaviour).
     gray0, inv0 = frames[0]
@@ -120,15 +165,24 @@ def cmd_run_tum(args):
         kfl = prepare_keyframe(pyr_cur, dpyr, cfg)
     dt = _t.perf_counter() - t0
     out = {"num_frames": len(poses), "fps": round((len(poses) - 1) / dt, 2)}
-    try:
-        ts, gt = tum.load_groundtruth(args.data)
-        # Align lengths naively (per-frame association is dataset-specific).
-        n = min(len(poses), len(gt))
+    if gt_poses is not None and gt_matched.any():
         from odometry_tpu.eval.metrics import ate_rmse
 
-        out["ate_rmse_m_naive_assoc"] = round(ate_rmse(gt[:n], np.stack(poses[:n])), 4)
-    except FileNotFoundError:
-        pass
+        pred = np.stack(poses)
+        # Reference metric (test_optimizer.cpp:101-112): per-frame absolute
+        # translation error with the trajectory seeded at the first matched
+        # GT pose, averaged over frames 1..N-1.
+        first = int(np.nonzero(gt_matched)[0][0])
+        seed = gt_poses[first] @ np.linalg.inv(pred[first])
+        pred_seeded = np.einsum("ab,nbc->nac", seed, pred)
+        m = gt_matched.copy()
+        m[first] = False  # reference divides by N-1, skipping the seed frame
+        errs = np.linalg.norm(
+            pred_seeded[m][:, :3, 3] - gt_poses[m][:, :3, 3], axis=1
+        )
+        out["num_gt_matched"] = int(gt_matched.sum())
+        out["avg_translation_error_m"] = round(float(errs.mean()), 4) if len(errs) else None
+        out["ate_rmse_m"] = round(ate_rmse(gt_poses[gt_matched], pred[gt_matched]), 4)
     print(json.dumps(out))
 
 
@@ -169,8 +223,10 @@ def cmd_run_synthetic(args):
         "num_frames": n,
         "fps": round(res.fps, 2),
         "keyframes": len(res.keyframe_ids),
+        "lost_frames": res.lost_ids,
         "mean_translation_error_m": round(mean_translation_error(poses[:n], res.poses), 4),
         "ate_rmse_m": round(ate_rmse(poses[:n], res.poses), 4),
+        "stages": {k: round(v["mean_ms"], 3) for k, v in res.stage_report.items()},
     }))
 
 
@@ -256,6 +312,12 @@ def main(argv=None):
     k.add_argument("--config", default="parity", choices=["parity", "accurate", "fast"])
     k.add_argument("--lazy-depth", action="store_true")
     k.add_argument("--out", default=None)
+    k.add_argument("--dump-vis", action="store_true",
+                   help="write per-keyframe gray/disparity/mask PNGs (save_to_vis)")
+    k.add_argument("--checkpoint-every", type=int, default=0,
+                   help="persist state+trajectory every N frames (needs --out)")
+    k.add_argument("--resume", action="store_true",
+                   help="resume from the checkpoint file in --out")
     k.set_defaults(fn=cmd_run_kitti)
 
     t = sub.add_parser("run-tum")

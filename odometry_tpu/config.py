@@ -146,6 +146,22 @@ class KeyframeConfig:
     # implements the reference's own TODO (":253 set init_pose as identity"):
     # after promotion the relative pose restarts at identity.
     reset_on_promote: bool = False
+    # Tracking-lost recovery policy (beyond-reference; SURVEY §5 failure
+    # bullet). The reference silently returns identity on a failed solve
+    # (lm_optimizer.cpp:60-65) and keeps chaining from it. With
+    # relocalize=True a lost frame instead HOLDS the previous absolute pose,
+    # re-seeds the keyframe from the current frame's stereo depth (when that
+    # depth is healthy), restarts the tracker at identity, and marks the
+    # output (StepOutput.lost) so the trajectory segment is identifiable.
+    relocalize: bool = False
+    # A frame is declared lost when the tracker failed outright, OR its
+    # finest-level final cost exceeds lost_cost_threshold (catches garbage
+    # input like an all-black frame, where the solve "succeeds" with a huge
+    # residual), OR the weighted motion magnitude exceeds
+    # lost_motion_threshold (catches implausible teleports). 0 disables a
+    # criterion.
+    lost_cost_threshold: float = 0.0
+    lost_motion_threshold: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,10 +185,16 @@ def kitti_config() -> PipelineConfig:
 
 
 def tum_rgbd_config(fx=525.0, fy=525.0, cx=319.5, cy=239.5) -> PipelineConfig:
-    """TUM RGB-D-shaped preset (sensor-depth tracking path, test_optimizer.cpp)."""
+    """TUM RGB-D-shaped preset (sensor-depth tracking path, test_optimizer.cpp).
+
+    tdist_dof=5 is the standard value for robust RGB-D photometric tracking
+    (Kerl et al.); the reference hard-codes nu=200 (lm_optimizer.cpp:260),
+    which is nearly Gaussian and measurably non-robust to occlusions —
+    set tdist_dof=200.0 for bit-parity with the reference instead.
+    """
     return PipelineConfig(
         camera=CameraConfig(fx=fx, fy=fy, cx=cx, cy=cy, baseline=0.075, height=480, width=640),
-        tracker=TrackerConfig(robust="tdist"),
+        tracker=TrackerConfig(robust="tdist", tdist_dof=5.0),
     )
 
 
@@ -186,7 +208,9 @@ def accurate_config() -> PipelineConfig:
     return PipelineConfig(
         tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
         depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True),
-        keyframe=KeyframeConfig(reset_on_promote=True),
+        keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
+                                lost_cost_threshold=1000.0,
+                                lost_motion_threshold=4.0),
     )
 
 
@@ -201,6 +225,8 @@ def fast_config() -> PipelineConfig:
         depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
                           range_limited_search=True, precision=0.99,
                           max_residuals=16384, point_order="spread"),
-        keyframe=KeyframeConfig(reset_on_promote=True),
+        keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
+                                lost_cost_threshold=1000.0,
+                                lost_motion_threshold=4.0),
         depth_every_frame=False,
     )

@@ -98,10 +98,20 @@ def ba_solve_sharded(
             depth_ok = (new_inv > 1.0 / cfg.max_depth) & (new_inv < 1.0 / cfg.min_depth)
             new_inv = jnp.where(depth_ok, new_inv, inv_depth)
 
-            accept = cost <= prev_cost
+            # Post-step acceptance (matches mapping/ba.py): residual-only
+            # pass at the candidate, global cost via psum, roll back on
+            # increase.
+            r2, w2, *_ = _linearize(
+                prob._replace(pose=new_pose, inv_depth=new_inv), cam, cfg, jac=False
+            )
+            cand_sq = jax.lax.psum(jnp.sum(w2 * r2 * r2), "model")
+            cand_n = jnp.maximum(jax.lax.psum(jnp.sum(w2 > 0), "model"), 1)
+            cand_cost = cand_sq / cand_n.astype(r2.dtype)
+            accept = cand_cost <= cost
             pose_out = jnp.where(accept, new_pose, pose)
             inv_out = jnp.where(accept, new_inv, inv_depth)
-            return (pose_out, inv_out, jnp.minimum(cost, prev_cost)), (cost, local_n)
+            out_cost = jnp.where(accept, cand_cost, cost)
+            return (pose_out, inv_out, out_cost), (cost, local_n)
 
         state = (prob.pose, prob.inv_depth, jnp.asarray(jnp.inf, jnp.float32))
         costs = []
@@ -109,9 +119,9 @@ def ba_solve_sharded(
         for _ in range(cfg.iters):
             state, (c, nres_local) = one_iter(state)
             costs.append(c)
-        pose, inv_depth, _ = state
+        pose, inv_depth, final_cost = state
         nres = jax.lax.psum(nres_local, "model")
-        return BAResult(pose, inv_depth, costs[0], costs[-1], nres)
+        return BAResult(pose, inv_depth, costs[0], final_cost, nres)
 
     f = shard_map(local, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
                   check_vma=False)

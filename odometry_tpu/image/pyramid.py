@@ -95,13 +95,23 @@ def gaussian_blur3(img: jax.Array) -> jax.Array:
 def pyr_down(img: jax.Array) -> jax.Array:
     """cv::pyrDown with forced floor(n/2) output size.
 
-    Computed as Av @ img @ Ah^T with banded blur+decimate matrices (see
-    :func:`_pyrdown_matrix`). HIGHEST precision keeps f32 exactness — TPU
-    default matmul precision runs f32 through bf16 passes, which would cost
-    ~0.7 intensity levels of error.
+    On TPU: computed as Av @ img @ Ah^T with banded blur+decimate matrices
+    (see :func:`_pyrdown_matrix`) — the strided-slice formulation forces lane
+    relayouts that cost ~20x more than the arithmetic on v5e. HIGHEST
+    precision keeps f32 exactness (default matmul precision runs f32 through
+    bf16 passes, ~0.7 intensity levels of error).
+
+    Off TPU the O(H^2 W + H W^2) matmuls are a large pessimization vs the
+    O(k H W) separable conv + free strided slice, so CPU/GPU use that path
+    (identical semantics; FP summation order differs in the last ulp).
     """
+    from odometry_tpu.utils.platform import on_tpu
+
     h, w = img.shape
     oh, ow = h // 2, w // 2
+    if not on_tpu():
+        blurred = _sep_conv(img, GAUSS5)
+        return blurred[: 2 * oh : 2, : 2 * ow : 2]
     Av = jnp.asarray(_pyrdown_matrix(h, oh))
     Ah = jnp.asarray(_pyrdown_matrix(w, ow))
     t = jax.lax.dot_general(
@@ -152,11 +162,18 @@ def depth_pyramid(
     """
     if indexing not in ("odd", "even"):
         raise ValueError(f"bad indexing mode {indexing!r}")
+    from odometry_tpu.utils.platform import on_tpu
+
     off = 1 if indexing == "odd" else 0
+    use_mm = on_tpu()
     levels = [median_blur3(dep) if smooth else dep]
     for _ in range(1, num_levels):
         prev = levels[-1]
         oh, ow = prev.shape[0] // 2, prev.shape[1] // 2
+        if not use_mm:
+            # Off-TPU a strided slice is free; the one-hot matmuls are not.
+            levels.append(prev[off : off + 2 * oh : 2, off : off + 2 * ow : 2])
+            continue
         # One-hot selection matmuls (exact); strided slices force lane
         # relayouts ~1 ms each on v5e at KITTI width.
         Sv = jnp.asarray(_decimate_matrix(prev.shape[0], oh, off))

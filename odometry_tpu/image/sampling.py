@@ -62,6 +62,11 @@ def sample_bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     return top * (1.0 - fy) + bot * fy
 
 
+# Full-f32 matmul passes for the dtype=float32 mode of sample_channels_mm
+# (same pattern as pyramid.py's _HIGHEST; defined before first use).
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def sample_channels_mm(
     imgs: jax.Array,
     u: jax.Array,
@@ -123,9 +128,6 @@ def sample_channels_mm(
         jnp.where(rows == y0i[None, :] + 1, fy[None, :], 0.0),
     )
     return jnp.sum(M * Ev[None], axis=1)
-
-
-_MM_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def sample_bilinear_mm(img: jax.Array, u: jax.Array, v: jax.Array,

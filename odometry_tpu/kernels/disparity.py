@@ -91,10 +91,20 @@ def disparity_search(
 
     if backend == "auto":
         from odometry_tpu.utils.platform import on_tpu
+        from odometry_tpu.kernels.disparity_pallas import pallas_width_ok
 
-        backend = "pallas" if on_tpu() else "xla"
+        backend = "pallas" if (on_tpu() and pallas_width_ok(W)) else "xla"
     if backend == "pallas":
-        from odometry_tpu.kernels.disparity_pallas import disparity_cost_argmin_pallas
+        from odometry_tpu.kernels.disparity_pallas import (
+            disparity_cost_argmin_pallas,
+            pallas_width_ok,
+        )
+
+        if not pallas_width_ok(W):
+            raise ValueError(
+                f"disparity pallas kernel: width {W} exceeds the VMEM budget "
+                "(per-row (Wp, Wp) cost matrices); use backend='xla' or 'auto'"
+            )
 
         best, match, rmatch = disparity_cost_argmin_pallas(
             PL, PR, ln, rn, boundary=boundary,

@@ -33,6 +33,17 @@ from odometry_tpu.utils.platform import pallas_interpret
 _BIG = 1e10  # python literal: jnp constants would be captured tracers in the kernel
 ROWS_PER_STEP = 4
 
+# The kernel materializes (Wp, Wp) f32 intermediates (ssd / cross / index) in
+# VMEM; at Wp=1280 (KITTI 1241) each is ~6.5 MB, near the ~16 MB ceiling.
+# Wider inputs would fail to compile, so callers must fall back to the XLA
+# backend above this bound (kernels/disparity.py does via pallas_width_ok).
+MAX_SUPPORTED_WIDTH = 1280
+
+
+def pallas_width_ok(width: int) -> bool:
+    """True when the fused kernel's per-row cost matrix fits VMEM."""
+    return -(-width // 128) * 128 <= MAX_SUPPORTED_WIDTH
+
 
 def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
             *, R, Wp, boundary, max_disparity, min_disparity):
@@ -81,6 +92,11 @@ def disparity_cost_argmin_pallas(
 ):
     """Return (best, match, rmatch), each (H, W) — XLA-path contract."""
     _, H, W = PL.shape
+    if not pallas_width_ok(W):
+        raise ValueError(
+            f"width {W} > {MAX_SUPPORTED_WIDTH}: per-row (Wp, Wp) VMEM cost "
+            "matrices would not fit; use the XLA disparity backend"
+        )
     Wp = -(-W // 128) * 128
     pad_w = Wp - W
     R = ROWS_PER_STEP

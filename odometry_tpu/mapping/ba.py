@@ -118,11 +118,15 @@ def _sample_bilinear_batch(images, j_idx, u, v):
     return top * (1.0 - fy) + bot * fy
 
 
-def _linearize(problem: BAProblem, cam: Pinhole, cfg: BAConfig):
+def _linearize(problem: BAProblem, cam: Pinhole, cfg: BAConfig, jac: bool = True):
     """Build residuals + Jacobian blocks for all (owner i, observer j, point).
 
     Returns per-element arrays shaped (K, K, P): owner axis i, observer axis
     j, point lane p; plus Jacobians J_i, J_j (..., 6) and J_d (...,).
+
+    With ``jac=False`` (the step-acceptance cost evaluation) the gradient
+    sampling and Jacobian chain are skipped and (r, w, None, None, None,
+    valid) is returned — a residual-only pass at ~1/3 the samples.
     """
     K, P = problem.xs.shape
     H, W = problem.images.shape[1:]
@@ -165,6 +169,16 @@ def _linearize(problem: BAProblem, cam: Pinhole, cfg: BAConfig):
     )
 
     I_obs = _sample_bilinear_batch(problem.images, j_idx, u, v)
+    r = I_obs - problem.intensity[None, :, :]  # (j, i, P)
+
+    if not jac:
+        absr = jnp.abs(r)
+        w = jnp.where(
+            absr <= cfg.huber_delta, 1.0, cfg.huber_delta / jnp.maximum(absr, 1e-12)
+        )
+        w = w * valid.astype(r.dtype)
+        return r, w, None, None, None, valid
+
     gx = 0.5 * (
         _sample_bilinear_batch(problem.images, j_idx, u + 1.0, v)
         - _sample_bilinear_batch(problem.images, j_idx, u - 1.0, v)
@@ -173,7 +187,6 @@ def _linearize(problem: BAProblem, cam: Pinhole, cfg: BAConfig):
         _sample_bilinear_batch(problem.images, j_idx, u, v + 1.0)
         - _sample_bilinear_batch(problem.images, j_idx, u, v - 1.0)
     )
-    r = I_obs - problem.intensity[None, :, :]  # (j, i, P)
 
     # Image-projection chain: row vector dr/dX_j (j, i, P, 3).
     inv_Zj = 1.0 / safe_Zj
@@ -261,13 +274,15 @@ def _cost(r, w):
 def ba_solve(problem: BAProblem, cam: Pinhole, cfg: BAConfig = BAConfig()) -> BAResult:
     """Damped Gauss-Newton on the reduced pose system + depth back-substitution.
 
-    Runs a fixed small number of iterations (static unroll); rejected steps
-    (cost increase) are rolled back, mirroring the engine's LM style.
+    Runs a fixed small number of iterations (static unroll). Each candidate
+    step's cost is evaluated AFTER applying it (a residual-only pass) and the
+    step is rolled back if the cost increased — true LM-style acceptance, so
+    a diverging final step is never silently kept.
     """
     K, P = problem.xs.shape
 
     def one_iter(state):
-        pose, inv_depth, prev_cost = state
+        pose, inv_depth, cur_cost = state
         prob = problem._replace(pose=pose, inv_depth=inv_depth)
         r, w, J_i, J_j, J_d, valid = _linearize(prob, cam, cfg)
         cost, nres = _cost(r, w)
@@ -291,12 +306,17 @@ def ba_solve(problem: BAProblem, cam: Pinhole, cfg: BAConfig = BAConfig()) -> BA
         depth_ok = (new_inv > 1.0 / cfg.max_depth) & (new_inv < 1.0 / cfg.min_depth)
         new_inv = jnp.where(depth_ok, new_inv, inv_depth)
 
-        # Accept/reject on the NEXT linearization cost (cheap proxy: keep if
-        # this iteration's cost did not increase vs the previous one).
-        accept = cost <= prev_cost
+        # Accept/reject on the POST-step cost: one residual-only pass at the
+        # candidate; roll back if it increased (no silent diverging steps).
+        r2, w2, *_ = _linearize(
+            problem._replace(pose=new_pose, inv_depth=new_inv), cam, cfg, jac=False
+        )
+        cand_cost, _ = _cost(r2, w2)
+        accept = cand_cost <= cost
         pose_out = jnp.where(accept, new_pose, pose)
         inv_out = jnp.where(accept, new_inv, inv_depth)
-        return (pose_out, inv_out, jnp.minimum(cost, prev_cost)), (cost, nres)
+        out_cost = jnp.where(accept, cand_cost, cost)
+        return (pose_out, inv_out, out_cost), (cost, nres)
 
     state = (problem.pose, problem.inv_depth, jnp.asarray(jnp.inf, jnp.float32))
     costs = []
@@ -304,11 +324,11 @@ def ba_solve(problem: BAProblem, cam: Pinhole, cfg: BAConfig = BAConfig()) -> BA
     for _ in range(cfg.iters):
         state, (c, nres) = one_iter(state)
         costs.append(c)
-    pose, inv_depth, _ = state
+    pose, inv_depth, final_cost = state
     return BAResult(
         pose=pose,
         inv_depth=inv_depth,
         cost_initial=costs[0],
-        cost_final=costs[-1],
+        cost_final=final_cost,
         num_residuals=nres,
     )

@@ -34,6 +34,7 @@ class KeyframeStore:
     inv_depth: jax.Array  # (K, cap)
     intensity: jax.Array  # (K, cap) keyframe image at the point
     point_valid: jax.Array  # (K, cap) bool
+    image: jax.Array  # (K, H, W) level-0 keyframe image (BA sampling target)
     pose: jax.Array  # (K, 4, 4) cam-to-world
     frame_id: jax.Array  # (K,) int32 source frame index
     occupied: jax.Array  # (K,) bool slot in use
@@ -41,7 +42,12 @@ class KeyframeStore:
     count: jax.Array  # scalar int32: total keyframes ever inserted
 
 
-def create_store(capacity_kf: int, capacity_pts: int) -> KeyframeStore:
+def create_store(
+    capacity_kf: int, capacity_pts: int, height: int = 0, width: int = 0
+) -> KeyframeStore:
+    """Allocate an empty store. height/width size the per-slot image planes
+    (pass 0x0 when the user of the store never samples images, e.g. pure
+    pose-graph maintenance)."""
     K, P = capacity_kf, capacity_pts
     return KeyframeStore(
         xs=jnp.zeros((K, P), jnp.float32),
@@ -49,6 +55,7 @@ def create_store(capacity_kf: int, capacity_pts: int) -> KeyframeStore:
         inv_depth=jnp.zeros((K, P), jnp.float32),
         intensity=jnp.zeros((K, P), jnp.float32),
         point_valid=jnp.zeros((K, P), bool),
+        image=jnp.zeros((K, height, width), jnp.float32),
         pose=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)),
         frame_id=jnp.full((K,), -1, jnp.int32),
         occupied=jnp.zeros((K,), bool),
@@ -63,11 +70,14 @@ def insert_keyframe(
     intensity: jax.Array,
     pose: jax.Array,
     frame_id: jax.Array,
+    image: jax.Array | None = None,
 ) -> KeyframeStore:
     """Write a keyframe at the ring head (oldest slot is evicted when full).
 
     Equivalent of ``GlobalMap::InsertKeyFrame`` (global_map.cpp:55-82) but
-    jit-safe and bounded. `pts` capacity must equal the store's point capacity.
+    jit-safe and bounded. `pts` capacity must equal the store's point
+    capacity. `image` must match the store's (H, W) when given; stores
+    created with 0x0 planes skip it.
     """
     slot = store.head
     K = store.pose.shape[0]
@@ -77,6 +87,7 @@ def insert_keyframe(
         inv_depth=store.inv_depth.at[slot].set(pts.inv_depth),
         intensity=store.intensity.at[slot].set(intensity),
         point_valid=store.point_valid.at[slot].set(pts.valid),
+        image=(store.image if image is None else store.image.at[slot].set(image)),
         pose=store.pose.at[slot].set(pose),
         frame_id=store.frame_id.at[slot].set(jnp.asarray(frame_id, jnp.int32)),
         occupied=store.occupied.at[slot].set(True),
@@ -92,9 +103,10 @@ def maybe_insert_keyframe(
     intensity: jax.Array,
     pose: jax.Array,
     frame_id: jax.Array,
+    image: jax.Array | None = None,
 ) -> KeyframeStore:
     """Conditionally insert (jit-safe select between updated and old store)."""
-    inserted = insert_keyframe(store, pts, intensity, pose, frame_id)
+    inserted = insert_keyframe(store, pts, intensity, pose, frame_id, image)
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(do_insert, a, b), inserted, store
     )

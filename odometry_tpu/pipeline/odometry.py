@@ -75,6 +75,13 @@ class StepOutput(NamedTuple):
     depth_ok: jax.Array  # bool
     num_valid_depth: jax.Array  # int32
     track_stats: tuple  # per-level LevelStats (coarsest first)
+    lost: jax.Array  # bool: tracking-lost criterion fired this frame
+    # Frontend maps for keyframe visual dumps (save_to_vis,
+    # run_odometry_kitti_offline.cpp:432-473). Zero-filled on frames where
+    # the lazy frontend skipped depth; transfers stay on-device unless the
+    # host actually fetches them.
+    inv_depth: jax.Array  # (H, W) float32
+    valid: jax.Array  # (H, W) bool
 
 
 def _cam(cfg: PipelineConfig) -> Pinhole:
@@ -149,6 +156,20 @@ def step(
     motion_mag = jnp.dot(motion_vec, weights)
     candidate = motion_mag > cfg.keyframe.motion_threshold
 
+    # Tracking-lost criterion (beyond-reference recovery policy; see
+    # KeyframeConfig). track_stats is coarsest-first, so [-1] is level 0.
+    kcfg = cfg.keyframe
+    lost = ~track.ok
+    if kcfg.lost_cost_threshold > 0:
+        lost = lost | (track.stats[-1].err_final > kcfg.lost_cost_threshold)
+    if kcfg.lost_motion_threshold > 0:
+        lost = lost | (motion_mag > kcfg.lost_motion_threshold)
+    if kcfg.relocalize:
+        # Hold the previous absolute pose instead of chaining a garbage
+        # estimate, and nominate this frame for keyframe re-seeding.
+        cur_pose = jnp.where(lost, state.cur_pose, cur_pose)
+        candidate = candidate | lost
+
     def depth_products(_):
         dres = compute_depth(left, right, cfg.camera, cfg.depth)
         dpyr_cur = depth_pyramid(dres.inv_depth, n, smooth=False,
@@ -179,20 +200,29 @@ def step(
             lambda a, b: jnp.where(promote, a, b), new, old
         )
 
+    kf_pose_new = sel(cur_pose, state.kf_pose)
+
+    # Warm start for the NEXT frame. Parity: both branches warm-start with
+    # pose_to_keyframe (:261, :268). With reset_on_promote, promotion
+    # restarts the relative pose at identity (the reference's own TODO at
+    # :253). A lost frame's estimate is garbage by definition, so relocalize
+    # instead reconstructs the start consistent with the HELD pose:
+    # cur = kf_pose @ inv(T)  =>  T_init = inv(cur_pose) @ kf_pose
+    # (= identity when this frame re-seeded the keyframe).
+    pose_init = track.T
+    if cfg.keyframe.reset_on_promote:
+        pose_init = jnp.where(promote, se3_identity(dtype=track.T.dtype), pose_init)
+    if cfg.keyframe.relocalize:
+        held_init = se3_compose(se3_inverse(cur_pose), kf_pose_new)
+        pose_init = jnp.where(lost, held_init, pose_init)
+
     new_state = OdometryState(
         kf_pyr=sel(pyr_cur, state.kf_pyr),
         kf_dpyr=sel(dpyr_cur, state.kf_dpyr),
         kf_track=sel(track_cur, state.kf_track),
         kf_valid=sel(dres.valid, state.kf_valid),
-        kf_pose=sel(cur_pose, state.kf_pose),
-        # Parity: both branches warm-start with pose_to_keyframe (:261, :268).
-        # With reset_on_promote, promotion restarts the relative pose at
-        # identity (the reference's own TODO at :253).
-        pose_init=(
-            sel(se3_identity(dtype=track.T.dtype), track.T)
-            if cfg.keyframe.reset_on_promote
-            else track.T
-        ),
+        kf_pose=kf_pose_new,
+        pose_init=pose_init,
         cur_pose=cur_pose,
         frame_id=state.frame_id + 1,
         kf_count=state.kf_count + promote.astype(jnp.int32),
@@ -207,5 +237,8 @@ def step(
         depth_ok=dres.ok,
         num_valid_depth=dres.num_valid,
         track_stats=track.stats,
+        lost=lost,
+        inv_depth=dres.inv_depth,
+        valid=dres.valid,
     )
     return new_state, out

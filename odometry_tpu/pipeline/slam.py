@@ -69,10 +69,10 @@ def run_slam(
         raise RuntimeError("Init 0-th frame failed! (depth frontend)")
 
     cap_pts = cfg.tracker.point_capacity
-    store = create_store(map_capacity, cap_pts)
+    store = create_store(map_capacity, cap_pts, cfg.camera.height, cfg.camera.width)
     kf0 = state.kf_track[0]
-    store = insert_keyframe(store, kf0.pts, kf0.intensity, state.kf_pose, 0)
-    kf_images = [np.asarray(state.kf_pyr[0])]
+    store = insert_keyframe(store, kf0.pts, kf0.intensity, state.kf_pose, 0,
+                            image=state.kf_pyr[0])
 
     jit_insert = jax.jit(insert_keyframe)
     jit_ba = jax.jit(lambda p: ba_solve(p, cam, bacfg))
@@ -92,18 +92,14 @@ def run_slam(
         if bool(out.promoted):
             keyframe_ids.append(frame_id)
             kf = state.kf_track[0]
-            store = jit_insert(store, kf.pts, kf.intensity, state.kf_pose, frame_id)
-            kf_images.append(np.asarray(state.kf_pyr[0]))
-            if len(kf_images) > map_capacity:
-                kf_images.pop(0)
+            store = jit_insert(store, kf.pts, kf.intensity, state.kf_pose, frame_id,
+                               state.kf_pyr[0])
             kf_since_ba += 1
             n_occ = int(jnp.minimum(store.count, map_capacity))
             if kf_since_ba >= ba_every and n_occ >= window:
                 slots = window_slots(store, window)
-                slots_np = np.asarray(slots)
                 problem = BAProblem(
-                    images=jnp.stack([kf_images[i] for i in _window_image_idx(
-                        store, slots_np, len(kf_images))]),
+                    images=store.image[slots],
                     xs=store.xs[slots],
                     ys=store.ys[slots],
                     inv_depth=store.inv_depth[slots],
@@ -130,20 +126,3 @@ def run_slam(
         ba_runs=ba_runs,
         fps=(n - 1) / total if n > 1 else 0.0,
     )
-
-
-def _window_image_idx(store: KeyframeStore, slots_np: np.ndarray, num_images: int):
-    """Map window slots to indices in the host-side keyframe image list.
-
-    The image list mirrors insertion order (ring semantics): the last
-    `num_images` inserted keyframes. Slot k holds insertion number
-    (count - n_occ + position-in-ring); we recover ordering via frame_id.
-    """
-    fids = np.asarray(store.frame_id)[slots_np]
-    order = {fid: i for i, fid in enumerate(sorted(np.asarray(store.frame_id)[
-        np.asarray(store.occupied)
-    ]))}
-    # Host image list is sorted by insertion too; offset to its tail window.
-    all_sorted = sorted(order)
-    base = len(all_sorted) - num_images
-    return [all_sorted.index(f) - base for f in fids]

@@ -92,6 +92,77 @@ def test_tum_loader(tmp_path):
     assert np.allclose(gt[1][:3, 3], [1, 0, 0])
 
 
+def test_tum_associate_algorithm():
+    # Classic associate.py: greedy nearest-timestamp matching, one use each,
+    # bounded difference.
+    ts_a = np.asarray([0.00, 1.00, 2.00, 3.00])
+    ts_b = np.asarray([0.015, 0.018, 1.30, 2.005, 3.019])
+    pairs = tum.associate(ts_a, ts_b, max_difference=0.02)
+    # 0 -> 0.015 (closer than 0.018); 1 has no partner within 0.02 (1.30 is
+    # 0.3 away); 2 -> 2.005; 3 -> 3.019.
+    assert pairs == [(0, 0), (2, 3), (3, 4)]
+
+
+def test_tum_builds_associations_without_file(tmp_path):
+    rng = np.random.default_rng(4)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rgb_lines, dep_lines = ["# rgb"], ["# depth"]
+    # rgb at t=i, depth jittered by +-8 ms; depth 1.5 has no rgb partner.
+    for i in range(3):
+        g = (rng.random((10, 12)) * 255).astype(np.uint8)
+        d = (rng.random((10, 12)) * 5000).astype(np.uint16)
+        Image.fromarray(g, "L").save(tmp_path / "rgb" / f"{i}.png")
+        Image.fromarray(d, "I;16").save(tmp_path / "depth" / f"{i}.png")
+        rgb_lines.append(f"{i}.000 rgb/{i}.png")
+        dep_lines.append(f"{i}.008 depth/{i}.png")
+    (tmp_path / "depth" / "x.png").write_bytes(
+        (tmp_path / "depth" / "0.png").read_bytes()
+    )
+    dep_lines.append("1.500 depth/x.png")
+    (tmp_path / "rgb.txt").write_text("\n".join(rgb_lines))
+    (tmp_path / "depth.txt").write_text("\n".join(dep_lines))
+    assoc = tum.read_associations_full(str(tmp_path))
+    assert len(assoc) == 3
+    assert [a.gray_ts for a in assoc] == [0.0, 1.0, 2.0]
+    assert all(abs(a.depth_ts - a.gray_ts - 0.008) < 1e-9 for a in assoc)
+
+
+def test_tum_reference_12_column_format(tmp_path):
+    # The reference's associated.txt carries GT inline
+    # (test_optimizer.cpp:117-150): ts tx ty tz qx qy qz qw rgb_ts rgb d_ts d.
+    rng = np.random.default_rng(5)
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    lines = []
+    for i in range(2):
+        g = (rng.random((10, 12)) * 255).astype(np.uint8)
+        d = (rng.random((10, 12)) * 5000).astype(np.uint16)
+        Image.fromarray(g, "L").save(tmp_path / "rgb" / f"{i}.png")
+        Image.fromarray(d, "I;16").save(tmp_path / "depth" / f"{i}.png")
+        lines.append(
+            f"{i}.0 {i * 0.5} 0 0 0 0 0 1 {i}.001 rgb/{i}.png {i}.002 depth/{i}.png"
+        )
+    (tmp_path / "associated.txt").write_text("\n".join(lines))
+    assoc = tum.read_associations_full(str(tmp_path))
+    assert len(assoc) == 2
+    assert assoc[1].gt_pose is not None
+    assert np.allclose(assoc[1].gt_pose[:3, 3], [0.5, 0, 0])
+    assert assoc[1].gray_path.endswith("rgb/1.png")
+
+
+def test_tum_associate_groundtruth():
+    frame_ts = np.asarray([0.0, 1.0, 2.0])
+    gt_ts = np.asarray([0.01, 1.5, 2.01])
+    gt = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    gt[:, 0, 3] = [10.0, 20.0, 30.0]
+    poses, matched = tum.associate_groundtruth(frame_ts, gt_ts, gt, max_difference=0.02)
+    assert matched.tolist() == [True, False, True]
+    assert poses[0, 0, 3] == 10.0
+    assert poses[2, 0, 3] == 30.0
+    assert np.allclose(poses[1], np.eye(4))
+
+
 def test_middlebury_loader(tmp_path):
     rng = np.random.default_rng(3)
     a = (rng.random((16, 20)) * 255).astype(np.uint8)

@@ -121,6 +121,7 @@ def test_depth_failure_keeps_keyframe(sequence):
     assert np.allclose(np.asarray(state.kf_pyr[0]), kf_img_before)
 
 
+@pytest.mark.slow
 def test_lazy_depth_matches_eager_trajectory(sequence):
     import dataclasses
 
@@ -142,6 +143,71 @@ def test_scan_runner_matches_step_runner(sequence):
     assert res_b.num_frames == res_a.num_frames
     assert np.allclose(res_a.poses, res_b.poses, atol=1e-5)
     assert res_a.keyframe_ids == res_b.keyframe_ids
+
+
+def test_tracking_lost_recovery(sequence):
+    """Corrupt a mid-sequence frame: the relocalize policy must flag it, hold
+    the pose, keep running, and recover the trajectory afterwards (VERDICT
+    round-1 item 4; SURVEY §5 tracking-lost -> re-initialization policy)."""
+    import dataclasses
+
+    _, poses, frames = sequence
+    cfg = dataclasses.replace(
+        CFG,
+        keyframe=KeyframeConfig(
+            motion_threshold=0.2, reset_on_promote=True, relocalize=True,
+            lost_cost_threshold=500.0, lost_motion_threshold=4.0,
+        ),
+    )
+    bad = list(frames)
+    black = (np.zeros((H, W), np.float32), np.zeros((H, W), np.float32))
+    bad[6] = black
+
+    # Baseline (no recovery policy): the black frame's depth failure stops
+    # the run at frame 6.
+    res_plain = run_sequence(bad, CFG)
+    assert res_plain.failed_at == 6
+    assert res_plain.num_frames == 7
+
+    # With the policy: full sequence runs, the glitch is flagged, the pose is
+    # held through it, and tracking re-converges to GT afterwards.
+    res = run_sequence(bad, cfg)
+    assert res.num_frames == len(frames)
+    assert 6 in res.lost_ids
+    assert np.allclose(res.poses[6], res.poses[5], atol=1e-6)
+    # Post-glitch, tracking re-acquires against the pre-glitch keyframe; the
+    # re-acquisition is a wide-baseline solve so a small constant offset
+    # (~0.15 m here) persists, but errors stay bounded (no divergence) on a
+    # 2.75 m path whose worst drift without recovery would be unbounded.
+    post = [i for i in range(7, len(frames)) if i not in res.lost_ids]
+    assert len(post) >= 3
+    errs = [np.linalg.norm(res.poses[i][:3, 3] - poses[i][:3, 3]) for i in post]
+    assert max(errs) < 0.3, errs
+    assert errs[-1] < 1.8 * errs[0] + 0.05, errs
+
+
+def test_runner_checkpoint_resume_vis_and_stages(sequence, tmp_path):
+    """Operability wiring (VERDICT round-1 item 6): stage timing report,
+    checkpoint/resume mid-sequence, keyframe vis collection."""
+    _, poses, frames = sequence
+    ckpt = str(tmp_path / "ck.npz")
+
+    res_a = run_sequence(frames, CFG, collect_vis=True)
+    assert len(res_a.vis) == len(res_a.keyframe_ids)
+    img0, inv0, val0 = res_a.vis[0]
+    assert img0.shape == (H, W) and inv0.shape == (H, W) and val0.shape == (H, W)
+    assert res_a.stage_report["step"]["count"] == len(frames) - 1
+    assert res_a.stage_report["init"]["count"] == 1
+
+    # "Crash" after 9 frames with periodic checkpoints, then resume the full
+    # sequence: the final trajectory must equal the uninterrupted run.
+    run_sequence(frames[:9], CFG, checkpoint_path=ckpt, checkpoint_every=4)
+    assert (tmp_path / "ck.npz").exists()
+    res_b = run_sequence(frames, CFG, checkpoint_path=ckpt, resume=True)
+    assert res_b.num_frames == res_a.num_frames
+    assert np.allclose(res_b.poses, res_a.poses, atol=1e-6)
+    assert res_b.keyframe_ids == res_a.keyframe_ids
+    assert "resume" in res_b.stage_report
 
 
 def test_rpe_metric_sane(sequence):

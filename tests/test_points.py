@@ -1,6 +1,7 @@
 """Parity: the point engine must reproduce the dense engine exactly."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from odometry_tpu.camera import Pinhole, intrinsic_pyramid
@@ -56,6 +57,7 @@ def test_extract_points_capacity_cap():
     assert int(pts.valid.sum()) == 100
 
 
+@pytest.mark.slow
 def test_point_system_matches_dense():
     img_kf, inv, img_cur, T_true = _scene_pair()
     cams = intrinsic_pyramid(CAM, 3)
@@ -88,6 +90,7 @@ def test_point_system_matches_dense():
             ), (l, interp)
 
 
+@pytest.mark.slow
 def test_solve_pose_engines_agree():
     img_kf, inv, img_cur, T_true = _scene_pair()
     pyr_kf = gaussian_image_pyramid(img_kf, 3, True)

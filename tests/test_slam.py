@@ -37,6 +37,7 @@ def sequence():
     return poses, frames
 
 
+@pytest.mark.slow
 def test_run_slam_builds_map_and_tracks(sequence):
     poses, frames = sequence
     res = run_slam(frames, CFG, map_capacity=8, window=3, ba_every=1,
@@ -52,6 +53,7 @@ def test_run_slam_builds_map_and_tracks(sequence):
     assert ate_rmse(poses[: res.num_frames], res.poses) < 0.15
 
 
+@pytest.mark.slow
 def test_run_slam_store_poses_finite(sequence):
     poses, frames = sequence
     res = run_slam(frames, CFG, map_capacity=8, window=3, ba_every=2)

@@ -143,6 +143,37 @@ def test_tracker_tdist_robust():
     assert t_err < 0.02 and r_err < 0.003
 
 
+def test_tracker_tdist_outliers_points_engine():
+    """t-distribution robustness through the full production solve path
+    (points engine), RGB-D style: sensor depth + a corrupted image region
+    (occlusion/specularity stand-in). With the literature dof (nu=5, the
+    tum_rgbd_config value) the estimator absorbs the outliers; the
+    reference's nu=200 (lm_optimizer.cpp:260) is nearly Gaussian and fails
+    this scenario, as does an unweighted solve."""
+    from odometry_tpu.tracking.tracker import prepare_keyframe, solve_pose_points
+
+    twist = [0.1, 0.0, 0.5, 0.0, 0.005, 0.0]
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    img_cur = img_cur.at[20:50, 30:80].set(255.0)
+
+    def run(robust, dof=5.0):
+        cfg = TrackerConfig(robust=robust, interp="bilinear", engine="points",
+                            tdist_dof=dof)
+        pyr_kf = gaussian_image_pyramid(img_kf, cfg.num_levels, smooth=True)
+        pyr_cur = gaussian_image_pyramid(img_cur, cfg.num_levels, smooth=True)
+        dpyr = depth_pyramid(inv_dep, cfg.num_levels, smooth=False)
+        kfl = prepare_keyframe(pyr_kf, dpyr, cfg)
+        return solve_pose_points(kfl, pyr_cur, CAM, cfg)
+
+    res = run("tdist", dof=5.0)
+    assert bool(res.ok)
+    t_err, r_err = _pose_err(res.T, T_true)
+    assert t_err < 0.01 and r_err < 0.001, (t_err, r_err)
+    res_none = run("none")
+    t_err_none, _ = _pose_err(res_none.T, T_true)
+    assert t_err_none > 10 * t_err, (t_err, t_err_none)
+
+
 def test_tracker_jits():
     twist = [0.1, 0.0, 0.5, 0.0, 0.005, 0.0]
     img_kf, inv_dep, img_cur, T_true = _make_pair(twist)

@@ -1,4 +1,21 @@
-"""Microbenchmarks for the primitive ops on the real chip."""
+"""Parameterized device-time microbenchmarks for the hot ops.
+
+Usage: python tools/microbench.py [suite ...]    (default: all)
+
+Suites:
+  gather   XLA gather formulations at odometry point counts
+  sample   gather-based vs MXU one-hot-matmul bilinear sampling
+  lm       tracker LM iteration device time vs point count + small-op tail
+  pyramid  image/depth pyramid formulations (matmul vs slice)
+  depth    depth-frontend stage breakdown (select/search/extract/refine)
+  step     full odometry step device time via an in-dispatch scan
+
+All timings are TRUE DEVICE TIME: the measured body runs K times inside one
+dispatched fori_loop/scan (chained through a data dependency so XLA cannot
+hoist it), which removes per-call dispatch overhead (~0.3-4 ms on this
+container's tunneled link) from the numbers. Conclusions drawn from these
+experiments are recorded in PERF.md — update it when numbers move.
+"""
 
 import os
 import sys
@@ -11,9 +28,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=50):
-    out = fn(*args)
+def dev_time(body, K=100, reps=3):
+    """ms per invocation of `body(i, acc) -> f32 contribution`, in-dispatch."""
+
+    def f():
+        def b(i, acc):
+            return acc + body(i, acc)
+
+        return jax.lax.fori_loop(0, K, b, jnp.float32(0.0))
+
+    jf = jax.jit(f)
+    jax.block_until_ready(jf())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jf()
     jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps / K * 1e3
+
+
+def wall_time(fn, *args, reps=3):
+    """ms per call including dispatch (jitted + warmed)."""
+    jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
@@ -21,101 +56,241 @@ def timeit(fn, *args, reps=50):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def main():
-    H, W = 376, 1241
+def suite_gather():
     key = jax.random.PRNGKey(0)
+    H, W = 376, 1241
     img = jax.random.uniform(key, (H, W), jnp.float32) * 255.0
+    flat = img.reshape(-1)
+    print("== gather formulations (ms/op, device time) ==")
+    for N in (8192, 40960):
+        idx = jax.random.randint(key, (N,), 0, H * W)
+        rows = {
+            "flat 1D idx": lambda i, a, idx=idx: flat[idx + (i % 2)].sum() * 0.0,
+            "sorted idx": lambda i, a, idx=jnp.sort(idx): flat[idx + (i % 2)].sum() * 0.0,
+            "(N/128,128) idx": lambda i, a, idx=idx.reshape(-1, 128): flat[idx + (i % 2)].sum() * 0.0,
+        }
+        for name, body in rows.items():
+            print(f"  N={N:6d} {name:16s} {dev_time(body):8.4f}")
+    sidx = jax.random.randint(key, (40960,), 0, 64 * 128)
+    small = jax.random.uniform(key, (64 * 128,), jnp.float32)
+    print(f"  8K-elem operand, N=40960      {dev_time(lambda i, a: small[sidx + (i % 2)].sum() * 0.0):8.4f}")
+    tidx = jax.random.randint(key, (128,), 0, H * W)
+    print(f"  N=128 (fixed-cost floor)      {dev_time(lambda i, a: flat[tidx + (i % 2)].sum() * 0.0):8.4f}")
 
+
+def suite_sample():
+    from odometry_tpu.image.sampling import sample_bilinear, sample_channels_mm
+
+    key = jax.random.PRNGKey(0)
+    H, W = 376, 1241
+    img = jax.random.uniform(key, (H, W), jnp.float32) * 255.0
+    imgs3 = jnp.stack([img, img, img])
+    print("== bilinear sampling: gather vs one-hot MXU matmul (ms/op) ==")
+    for N in (8192, 40960):
+        u = jax.random.uniform(key, (N,), jnp.float32) * (W - 2)
+        v = jax.random.uniform(key, (N,), jnp.float32) * (H - 2)
+        t_g = dev_time(lambda i, a: sample_bilinear(img, u + (i % 2), v).sum() * 0.0)
+        t_m1 = dev_time(lambda i, a: sample_channels_mm(img[None], u + (i % 2), v).sum() * 0.0)
+        t_m3 = dev_time(lambda i, a: sample_channels_mm(imgs3, u + (i % 2), v).sum() * 0.0)
+        print(f"  N={N:6d} gather {t_g:8.4f}   mm C=1 {t_m1:8.4f}   mm C=3 {t_m3:8.4f}")
+
+
+def suite_lm():
+    from odometry_tpu.camera import Pinhole
+    from odometry_tpu.geometry import se3_compose, se3_exp
+    from odometry_tpu.image.pyramid import central_gradients
+    from odometry_tpu.kernels.points import (
+        PointSet,
+        normal_equations_points,
+        residual_jacobian_points,
+    )
+    from odometry_tpu.solvers.linear6 import solve_spd6
+    from odometry_tpu.solvers.robust import robust_weights
+
+    key = jax.random.PRNGKey(0)
+    H, W = 376, 1241
+    img = jax.random.uniform(key, (H, W), jnp.float32) * 255.0
+    cam = Pinhole.create(718.0, 718.0, 620.0, 188.0)
+    grads = central_gradients(img)
+    print("== tracker LM iteration (ms/iter, device time) ==")
+    for N in (8192, 16384, 40960):
+        idx = jax.random.randint(key, (N,), 0, H * W)
+        pts = PointSet(
+            xs=(idx % W).astype(jnp.float32),
+            ys=(idx // W).astype(jnp.float32),
+            inv_depth=jnp.full((N,), 0.1, jnp.float32),
+            valid=jnp.ones((N,), bool),
+            num=jnp.asarray(N, jnp.int32),
+        )
+        kf_i = jax.random.uniform(key, (N,), jnp.float32)
+
+        for interp in ("bilinear", "mm"):
+            def body(i, acc, pts=pts, kf_i=kf_i, interp=interp):
+                T = se3_exp(jnp.full((6,), 1e-6 * acc))
+                sys_ = residual_jacobian_points(
+                    pts, img, cam, T, kf_intensity=kf_i, interp=interp, grads=grads
+                )
+                w = robust_weights("huber", sys_.r, sys_.valid, huber_delta=28.0,
+                                   tdist_dof=200.0, tdist_sigma_init=5.0)
+                eqs = normal_equations_points(sys_, w)
+                A = eqs.JtWJ + 0.01 * jnp.diag(jnp.diag(eqs.JtWJ)) + 1e-12 * jnp.eye(6)
+                delta = solve_spd6(A, -eqs.JtWr)
+                return delta.sum() * 0.0
+
+            print(f"  N={N:6d} interp={interp:8s} {dev_time(body):8.4f}")
+
+    # Small-op tail: the 6x6 solve + se3_exp alone.
+    A6 = jnp.eye(6) * 3.0
+    b6 = jnp.ones((6,))
+    t = dev_time(lambda i, a: solve_spd6(A6 + a, b6).sum() * 0.0)
+    print(f"  solve_spd6 alone              {t:8.4f}")
+    t = dev_time(lambda i, a: se3_compose(se3_exp(b6 * 1e-6 * a), jnp.eye(4))[0, 0] * 0.0)
+    print(f"  se3_exp+compose alone         {t:8.4f}")
+
+
+def suite_pyramid():
     from odometry_tpu.image.pyramid import (
-        gaussian_blur3,
-        pyr_down,
-        central_gradients,
+        _decimate_matrix,
+        _pyrdown_matrix,
+        _sep_conv,
+        GAUSS5,
         gaussian_image_pyramid,
     )
 
-    print(f"blur3:            {timeit(jax.jit(gaussian_blur3), img):7.3f} ms")
-    print(f"pyr_down:         {timeit(jax.jit(pyr_down), img):7.3f} ms")
-    print(f"central_grads:    {timeit(jax.jit(central_gradients), img):7.3f} ms")
-    print(f"pyramid4:         {timeit(jax.jit(lambda x: gaussian_image_pyramid(x, 4, True)), img):7.3f} ms")
+    key = jax.random.PRNGKey(0)
+    H, W = 376, 1241
+    img = jax.random.uniform(key, (H, W), jnp.float32) * 255.0
+    print("== pyramid formulations (ms/op, device time) ==")
+    Av = jnp.asarray(_pyrdown_matrix(H, H // 2))
+    Ah = jnp.asarray(_pyrdown_matrix(W, W // 2))
+    hp = jax.lax.Precision.HIGHEST
 
-    # conv_general_dilated version of blur3 for comparison
-    def blur3_conv(x):
-        k = jnp.array([0.25, 0.5, 0.25], jnp.float32)
-        k2 = jnp.outer(k, k)[None, None]
-        xp = jnp.pad(x, 1, mode="reflect")[None, None]
-        return jax.lax.conv_general_dilated(xp, k2, (1, 1), "VALID")[0, 0]
+    def mm(i, a):
+        t = jax.lax.dot_general(Av, img + a, (((1,), (0,)), ((), ())), precision=hp)
+        return jax.lax.dot_general(t, Ah, (((1,), (1,)), ((), ())), precision=hp)[0, 0] * 0.0
 
-    print(f"blur3_conv:       {timeit(jax.jit(blur3_conv), img):7.3f} ms")
+    def conv_slice(i, a):
+        return _sep_conv(img + a, GAUSS5)[::2, ::2][0, 0] * 0.0
 
-    # Gathers
-    N = 40960
-    idx = jax.random.randint(key, (N,), 0, H * W)
-    yi = idx // W
-    xi = idx % W
+    def slice_only(i, a):
+        return (img + a)[1::2, 1::2][0, 0] * 0.0
 
-    def g1(img, yi, xi):
-        return img.reshape(-1)[yi * W + xi]
+    print(f"  pyrdown as banded matmuls     {dev_time(mm):8.4f}")
+    print(f"  pyrdown as conv + [::2]       {dev_time(conv_slice):8.4f}")
+    print(f"  bare strided slice [1::2]     {dev_time(slice_only):8.4f}")
 
-    print(f"gather {N} x1:   {timeit(jax.jit(g1), img, yi, xi):7.3f} ms")
+    def full(i, a):
+        p = gaussian_image_pyramid(img + a, 4, True)
+        return p[0][0, 0] * 0.0 + p[3][0, 0] * 0.0
 
-    def g6(img, yi, xi):
-        f = img.reshape(-1)
-        o = 0.0
-        for dy in (-1, 0, 1):
-            for dx in (0, 1):
-                o = o + f[jnp.clip((yi + dy) * W + xi + dx, 0, H * W - 1)]
-        return o
+    print(f"  4-level image pyramid         {dev_time(full):8.4f}")
 
-    print(f"gather {N} x6:   {timeit(jax.jit(g6), img, yi, xi):7.3f} ms")
 
-    # Patch gather: slice_sizes (3, 4) per index
-    def gpatch(img, yi, xi):
-        starts = jnp.stack([jnp.clip(yi - 1, 0, H - 3), jnp.clip(xi - 1, 0, W - 4)], -1)
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1),
-            operand_batching_dims=(), start_indices_batching_dims=(),
-        )
-        return jax.lax.gather(
-            img, starts, dn, slice_sizes=(3, 4),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )
+def suite_depth():
+    from odometry_tpu.camera import Pinhole
+    from odometry_tpu.config import fast_config
+    from odometry_tpu.data.synthetic import make_scene, render_stereo
+    from odometry_tpu.depth.estimator import compute_depth, refine_depth_points
+    from odometry_tpu.image.pyramid import gaussian_blur3
+    from odometry_tpu.kernels.disparity import disparity_search
+    from odometry_tpu.kernels.points import extract_points
+    from odometry_tpu.kernels.select import select_points
 
-    print(f"gather {N} patch(3,4): {timeit(jax.jit(gpatch), img, yi, xi):7.3f} ms")
+    cfg = fast_config()
+    H, W = cfg.camera.height, cfg.camera.width
+    cam = Pinhole.create(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    scene = make_scene(3, depth=14.0)
+    l, r, _ = jax.jit(lambda: render_stereo(scene, cam, cfg.camera.baseline, jnp.eye(4), H, W))()
+    ls, rs = gaussian_blur3(l), gaussian_blur3(r)
+    d = cfg.depth
+    print("== depth frontend breakdown (ms/op, device time) ==")
 
-    for n in (8192, 16384):
-        print(
-            f"gather {n} x6:   "
-            f"{timeit(jax.jit(g6), img, yi[:n], xi[:n]):7.3f} ms"
-        )
+    t = dev_time(lambda i, a: select_points(
+        ls + a, boundary=d.boundary, block_rows=d.block_rows, block_cols=d.block_cols,
+        grad_th=d.grad_th, max_points_per_block=d.max_points_per_block,
+    ).sum().astype(jnp.float32) * 0.0, K=20)
+    print(f"  select_points                 {t:8.3f}")
 
-    # einsum normal equations
-    J = jax.random.normal(key, (N, 6), jnp.float32)
-    r = jax.random.normal(key, (N,), jnp.float32)
+    sel = select_points(ls, boundary=d.boundary, block_rows=d.block_rows,
+                        block_cols=d.block_cols, grad_th=d.grad_th,
+                        max_points_per_block=d.max_points_per_block)
+    band_max = int(cam.fx * cfg.camera.baseline / d.min_depth) + 1
+    max_disp = min(d.max_disparity, band_max) if d.max_disparity else band_max
+    min_disp = max(1, int(cam.fx * cfg.camera.baseline / d.max_depth))
 
-    def neq(J, r):
-        return jnp.einsum("ni,nj->ij", J, J), jnp.einsum("ni,n->i", J, r)
+    t = dev_time(lambda i, a: disparity_search(
+        ls + a, rs, sel, fx=cam.fx, baseline=cfg.camera.baseline, boundary=d.boundary,
+        ssd_th=d.ssd_th, max_disparity=max_disp, min_disparity=min_disp,
+        lr_check=d.lr_check, lr_tol=d.lr_tol, backend="auto",
+    ).inv_depth[0, 0] * 0.0, K=20)
+    print(f"  disparity_search              {t:8.3f}")
 
-    print(f"normal eqs {N}:  {timeit(jax.jit(neq), J, r):7.3f} ms")
+    disp = disparity_search(ls, rs, sel, fx=cam.fx, baseline=cfg.camera.baseline,
+                            boundary=d.boundary, ssd_th=d.ssd_th, max_disparity=max_disp,
+                            min_disparity=min_disp, lr_check=d.lr_check, lr_tol=d.lr_tol,
+                            backend="auto")
+    cap = min(d.max_residuals, d.block_rows * d.block_cols * d.max_points_per_block)
+    t = dev_time(lambda i, a: extract_points(disp.inv_depth + a, sel, cap).xs.sum() * 0.0, K=20)
+    print(f"  extract_points (cap={cap:5d})   {t:8.3f}")
 
-    # while_loop overhead: 10 trivial iterations
-    def wl(x):
-        def body(c):
-            i, v = c
-            return i + 1, v * 1.0001 + 1.0
+    pts = extract_points(disp.inv_depth, sel, cap)
+    t = dev_time(lambda i, a: refine_depth_points(
+        l + a, r, pts, cfg.camera, cfg.depth)[0].sum() * 0.0, K=5)
+    print(f"  refine_depth_points           {t:8.3f}")
 
-        def cond(c):
-            return c[0] < 10
+    t = dev_time(lambda i, a: compute_depth(
+        l + a, r, cfg.camera, cfg.depth).inv_depth[0, 0] * 0.0, K=5)
+    print(f"  compute_depth (full)          {t:8.3f}")
 
-        return jax.lax.while_loop(cond, body, (0, x))[1]
 
-    print(f"while10 trivial:  {timeit(jax.jit(wl), jnp.float32(1.0)):7.3f} ms")
+def suite_step():
+    from odometry_tpu.camera import Pinhole
+    from odometry_tpu.config import fast_config
+    from odometry_tpu.data.synthetic import drive_trajectory, make_scene, render_stereo
+    from odometry_tpu.pipeline.odometry import init, step
 
-    # One tracker-iteration equivalent: 6 gathers + arithmetic + neq
-    def iter_equiv(img, yi, xi, J, r):
-        v = g6(img, yi, xi)
-        return neq(J * v[:, None], r + v)
+    cfg = fast_config()
+    H, W = cfg.camera.height, cfg.camera.width
+    cam = Pinhole.create(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+    scene = make_scene(3, depth=14.0)
+    poses = drive_trajectory(17, step=0.35, seed=4)
+    render = jax.jit(lambda t_: render_stereo(scene, cam, cfg.camera.baseline, t_, H, W))
+    frames = [render(jnp.asarray(T))[:2] for T in poses]
+    state, _ = jax.jit(lambda l, r: init(l, r, cfg))(*frames[0])
+    lefts = jnp.stack([f[0] for f in frames[1:]])
+    rights = jnp.stack([f[1] for f in frames[1:]])
 
-    print(f"iter equiv {N}:  {timeit(jax.jit(iter_equiv), img, yi, xi, J, r):7.3f} ms")
+    def scan_steps(state, lefts, rights):
+        def b(s, lr):
+            s2, out = step(s, lr[0], lr[1], cfg)
+            return s2, out.cur_pose
+
+        return jax.lax.scan(b, state, (lefts, rights))
+
+    t = wall_time(jax.jit(scan_steps), state, lefts, rights, reps=5)
+    n = lefts.shape[0]
+    print("== full step (fast_config) ==")
+    print(f"  scan/{n} device time          {t / n:8.4f} ms/frame -> {n * 1000 / t:.0f} fps")
+
+    jstep = jax.jit(lambda s, l, r: step(s, l, r, cfg))
+    t = wall_time(jstep, state, lefts[0], rights[0], reps=20)
+    print(f"  single dispatched step        {t:8.4f} ms/frame -> {1000 / t:.0f} fps")
+
+
+SUITES = {
+    "gather": suite_gather,
+    "sample": suite_sample,
+    "lm": suite_lm,
+    "pyramid": suite_pyramid,
+    "depth": suite_depth,
+    "step": suite_step,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(SUITES)
+    for n in names:
+        SUITES[n]()
 
 
 if __name__ == "__main__":
