@@ -149,13 +149,124 @@ def render(
         ],
         axis=-1,
     )
-    n = scene.normal
-    denom = jnp.einsum("j,...j->...", n, rw)
-    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-    tstar = (scene.offset - jnp.einsum("j,j->", n, t)) / denom
+    if isinstance(scene, MultiPlaneScene):
+        # Nearest positive intersection over all planes.
+        denom = jnp.einsum("pj,...j->...p", scene.normals, rw)  # (..., P)
+        num = scene.offsets - jnp.einsum("pj,j->p", scene.normals, t)  # (P,)
+        tp = num / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        tp = jnp.where(tp > 0.05, tp, jnp.float32(jnp.inf))
+        tstar = jnp.min(tp, axis=-1)
+        tstar = jnp.where(jnp.isfinite(tstar), tstar, jnp.float32(100.0))
+    else:
+        n = scene.normal
+        denom = jnp.einsum("j,...j->...", n, rw)
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        tstar = (scene.offset - jnp.einsum("j,j->", n, t)) / denom
     p = t + tstar[..., None] * rw
     img = scene.texture(p)
     return img, tstar  # Z == tstar because the camera ray has unit z
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiPlaneScene:
+    """Several textured planes composited by nearest positive ray intersection.
+
+    A single plane is pose-degenerate for SE(3) photometric alignment (the
+    plane-induced-homography ambiguity leaves near-null directions in the 6x6
+    normal equations, so float32 solver noise is amplified ~1/sigma_min). A
+    ground plane plus walls at different depths/orientations conditions the
+    system the way real street scenes do — required for trajectory-level
+    parity tests where two faithful implementations must stay on the same LM
+    path. Texture is a single function of the world point (same broadband
+    sinusoid + blob construction as :class:`PlaneScene`), so every plane shows
+    a different slice of it; occlusions are consistent across views because
+    both eyes composite the true nearest surface.
+    """
+
+    normals: jax.Array  # (P, 3) unit normals
+    offsets: jax.Array  # (P,) plane offsets: n . p = d
+    freqs: jax.Array
+    amps: jax.Array
+    phases: jax.Array
+    blob_centers: jax.Array
+    blob_inv2s2: jax.Array
+    blob_amps: jax.Array
+
+    texture = PlaneScene.texture
+
+
+def make_driving_scene(
+    seed: int = 0,
+    *,
+    ground_y: float = 1.6,
+    wall_z: float = 16.0,
+    side_x: float = 5.0,
+    num_waves: int = 48,
+    num_blobs: int = 500,
+    freq_scale: float = 6.0,
+    contrast: float = 55.0,
+) -> MultiPlaneScene:
+    """Street-like scene: ground plane + front wall + two side walls.
+
+    Camera convention: +z forward, +y down (pinhole image coords), so the
+    ground plane is y = `ground_y` below a camera at the origin. Depths seen
+    by a forward-looking camera span ~[3, 25] m — inside the reference's
+    [0.1, 30] validity band (run_odometry_kitti_offline.cpp:62-63).
+    """
+    rng = np.random.default_rng(seed)
+    jig = lambda s: 1.0 + 0.08 * rng.standard_normal(s)  # break exact symmetry
+    normals = np.array(
+        [
+            [0.0, 1.0, 0.02 * rng.standard_normal()],  # ground (y = ground_y)
+            [0.03 * rng.standard_normal(), 0.0, 1.0],  # front wall (z = wall_z)
+            [1.0, 0.0, 0.12 * jig(())],                # right wall
+            [-1.0, 0.0, 0.12 * jig(())],               # left wall
+        ]
+    )
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    anchor = np.array(
+        [
+            [0.0, ground_y, 0.0],
+            [0.0, 0.0, wall_z * jig(())],
+            [side_x * jig(()), 0.0, 0.0],
+            [-side_x * jig(()), 0.0, 0.0],
+        ]
+    )
+    offsets = np.einsum("pj,pj->p", normals, anchor)
+
+    dirs = rng.standard_normal((num_waves, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    mags = np.exp(rng.uniform(np.log(0.125 * freq_scale), np.log(2.0 * freq_scale), num_waves))
+    freqs = dirs * mags[:, None]
+    amps = rng.uniform(0.5, 1.0, num_waves) * (mags / mags.min()) ** -0.35
+    amps = amps * (contrast / np.sqrt(np.sum(amps**2) / 2.0))
+    phases = rng.uniform(0, 2 * np.pi, num_waves)
+    # Blobs scattered through the visible volume (walls/ground pick up the
+    # ones lying near their surface).
+    nb = max(num_blobs, 1)
+    centers = np.stack(
+        [
+            rng.uniform(-side_x, side_x, nb),
+            rng.uniform(-2.0, ground_y, nb),
+            rng.uniform(1.0, wall_z, nb),
+        ],
+        axis=1,
+    )
+    widths = np.exp(rng.uniform(np.log(0.10), np.log(0.5), nb))
+    blob_amps = rng.uniform(40.0, 90.0, nb) * rng.choice([-1.0, 1.0], nb)
+    if num_blobs == 0:
+        blob_amps[:] = 0.0
+    return MultiPlaneScene(
+        normals=jnp.asarray(normals, jnp.float32),
+        offsets=jnp.asarray(offsets, jnp.float32),
+        freqs=jnp.asarray(freqs, jnp.float32),
+        amps=jnp.asarray(amps, jnp.float32),
+        phases=jnp.asarray(phases, jnp.float32),
+        blob_centers=jnp.asarray(centers, jnp.float32),
+        blob_inv2s2=jnp.asarray(1.0 / (2.0 * widths**2), jnp.float32),
+        blob_amps=jnp.asarray(blob_amps, jnp.float32),
+    )
 
 
 def right_camera_pose(T_wc_left: jax.Array, baseline: float) -> jax.Array:

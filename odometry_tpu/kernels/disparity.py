@@ -93,7 +93,23 @@ def disparity_search(
         from odometry_tpu.utils.platform import on_tpu
         from odometry_tpu.kernels.disparity_pallas import pallas_width_ok
 
-        backend = "pallas" if (on_tpu() and pallas_width_ok(W)) else "xla"
+        banded = max_disparity is not None
+        backend = "pallas" if (on_tpu() and (banded or pallas_width_ok(W))) else "xla"
+    if backend == "pallas" and max_disparity is not None:
+        # Banded fused kernel: compute only the [min_disparity, max_disparity]
+        # candidate band as MXU tiles along the diagonal — width-unlimited.
+        from odometry_tpu.kernels.disparity_pallas import disparity_band_pallas
+
+        best, match, rmatch = disparity_band_pallas(
+            PL, PR, ln, rn, boundary=boundary,
+            max_disparity=max_disparity, min_disparity=min_disparity,
+            lr=lr_check,
+        )
+        return _finalize(
+            left, best, match, rmatch, select_mask,
+            fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
+            lr_check=lr_check, lr_tol=lr_tol,
+        )
     if backend == "pallas":
         from odometry_tpu.kernels.disparity_pallas import (
             disparity_cost_argmin_pallas,

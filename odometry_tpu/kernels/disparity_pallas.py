@@ -80,6 +80,167 @@ def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
         rmatch_ref[r, 0, :] = jnp.min(ridx, axis=0).astype(jnp.int32)
 
 
+def _band_kernel(*refs, R, NT, P, boundary, max_disparity, min_disparity,
+                 reverse):
+    """Banded SSD + first-minimum argmin for one (R rows, 128 query px) step.
+
+    Query patterns: (R, 8, 128). Candidate slab: NT=P/128+1 tiles of the other
+    image concatenated to (R, 8, S), S = P + 128. Forward (left->right):
+    slab covers xr in [128t - P, 128t + 128), disparity d = i - j + P.
+    Reverse (right->left): slab covers xs in [128t, 128t + 128 + P),
+    d = j - i. Only the band min_disparity <= d <= max_disparity competes;
+    everything else scores BIG.
+    """
+    pl_ref = refs[0]
+    cand_refs = refs[1 : 1 + NT]
+    ln_ref = refs[1 + NT]
+    cn_refs = refs[2 + NT : 2 + 2 * NT]
+    best_ref, match_ref = refs[2 + 2 * NT], refs[3 + 2 * NT]
+    t = pl.program_id(1)
+    q = pl_ref[...]  # (R, K, 128) bf16 split-stack (see _split3)
+    cand = jnp.concatenate([c[...] for c in cand_refs], axis=2)
+    cn = jnp.concatenate([c[...] for c in cn_refs], axis=2)
+    qn = ln_ref[...]  # (R, 1, 128)
+    S = cand.shape[2]
+    # One bf16 MXU pass with f32 accumulation. The K axis carries the 8-point
+    # pattern x 9 exact-split product pairs (_split3), so every partial
+    # product is exact and the result is f32-accurate — vs HIGHEST's 6-pass
+    # decomposition of an already latency-bound K=8 matmul (~4x slower).
+    cross = jax.lax.dot_general(
+        q, cand, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (R, 128, S)
+    ssd = qn.transpose(0, 2, 1) + cn - 2.0 * cross  # (R,128,S) via broadcast
+    i = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 2)
+    if reverse:
+        d = j - i
+        cand_x = 128 * t + j  # candidate = left pixel xs
+        ok = (d >= min_disparity) & (d <= max_disparity)
+    else:
+        d = i - j + P
+        cand_x = 128 * t - P + j  # candidate = right pixel xr
+        ok = (d >= min_disparity) & (d <= max_disparity) & (cand_x >= boundary)
+    ssd = jnp.where(ok, ssd, jnp.float32(_BIG))
+    best = jnp.min(ssd, axis=2)  # (R, 128)
+    idx = jnp.where(ssd == best[:, :, None], cand_x, jnp.int32(2**30))
+    match = jnp.min(idx, axis=2).astype(jnp.int32)
+    best_ref[...] = best
+    match_ref[...] = match
+
+
+def _split3(x: jax.Array):
+    """Split f32 into three EXACTLY-bf16-representable parts, x ~ hi+mid+lo.
+
+    hi = round(x) (integers <= 256 are exact in bf16 for image-range data),
+    mid = bf16(x - hi), lo = bf16 residual. Products of any two parts are
+    then exact in the MXU's f32 accumulation; the only loss is the bf16
+    rounding of lo's own residual (< 2^-17 absolute for |x| <= 255, i.e.
+    SSD error ~1e-2 — f32-class accuracy from a single bf16 pass).
+    """
+    hi = jnp.round(x)
+    r1 = x - hi
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi.astype(jnp.bfloat16), mid, lo
+
+
+def _split_stacks(Q: jax.Array, C: jax.Array):
+    """(8,H,W) f32 pattern stacks -> (72,H,W) bf16 K-stacks whose single-pass
+    contraction equals sum over the 3x3 exact-split product pairs."""
+    qh, qm, ql = _split3(Q)
+    ch, cm, cl = _split3(C)
+    q72 = jnp.concatenate([qh, qm, ql, qh, qm, ql, qh, qm, ql], axis=0)
+    c72 = jnp.concatenate([ch, ch, ch, cm, cm, cm, cl, cl, cl], axis=0)
+    return q72, c72
+
+
+def _band_pass(Q, C, qn, cn, *, P, boundary, max_disparity, min_disparity,
+               reverse, R=8):
+    """One direction of the banded search. Q/C: (K, H, W) bf16 split K-stacks
+    (from :func:`_split_stacks`) of the query/candidate images; qn/cn the f32
+    squared pattern norms. Returns (best, match) as (H, W)."""
+    K, H, W = Q.shape
+    Wp = -(-W // 128) * 128
+    Hp = -(-H // R) * R
+    NT = P // 128 + 1
+    # Candidate image padded so every slab is NT aligned 128-tiles.
+    if reverse:
+        cpad = (0, P + (Wp - W))
+    else:
+        cpad = (P, Wp - W)
+    Qp = jnp.pad(Q, ((0, 0), (0, Hp - H), (0, Wp - W))).transpose(1, 0, 2)
+    Cp = jnp.pad(C, ((0, 0), (0, Hp - H), cpad)).transpose(1, 0, 2)
+    qnp = jnp.pad(qn, ((0, Hp - H), (0, Wp - W)))[:, None, :]
+    cnp = jnp.pad(cn, ((0, Hp - H), cpad), constant_values=_BIG)[:, None, :]
+
+    grid = (Hp // R, Wp // 128)
+    kernel = functools.partial(
+        _band_kernel, R=R, NT=NT, P=P, boundary=boundary,
+        max_disparity=max_disparity, min_disparity=min_disparity,
+        reverse=reverse,
+    )
+    # Slab in padded coords: forward [128t - P, 128t + 128) and reverse
+    # [128t, 128t + 128 + P) both become aligned tiles t + k of the padded
+    # candidate image (forward pads P on the left, reverse on the right).
+    cmaps = [lambda r, t, k=k: (r, 0, t + k) for k in range(NT)]
+    best, match = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, K, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((R, K, 128), m, memory_space=pltpu.VMEM) for m in cmaps],
+            pl.BlockSpec((R, 1, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((R, 1, 128), m, memory_space=pltpu.VMEM) for m in cmaps],
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        ],
+        interpret=pallas_interpret(),
+    )(Qp, *([Cp] * NT), qnp, *([cnp] * NT))
+    return best[:H, :W], match[:H, :W]
+
+
+def disparity_band_pallas(
+    PL: jax.Array,  # (8, H, W) left pattern stack
+    PR: jax.Array,
+    ln: jax.Array,
+    rn: jax.Array,
+    *,
+    boundary: int,
+    max_disparity: int,
+    min_disparity: int | None,
+    lr: bool,
+):
+    """Banded search: only candidates within [min_disparity, max_disparity]
+    are scored, as (128 query, P+128 candidate) MXU tiles along the band —
+    ~5x less compute and VMEM-independent of the image width (no
+    MAX_SUPPORTED_WIDTH limit). Returns (best, match, rmatch); rmatch is
+    zeros when lr=False (one full reverse pass is only paid when the
+    left-right check asked for it)."""
+    min_d = 1 if min_disparity is None else max(1, min_disparity)
+    P = -(-max_disparity // 128) * 128
+    qf, cf = _split_stacks(PL, PR)
+    best, match = _band_pass(
+        qf, cf, ln, rn, P=P, boundary=boundary,
+        max_disparity=max_disparity, min_disparity=min_d, reverse=False,
+    )
+    if lr:
+        qr, cr = _split_stacks(PR, PL)
+        _, rmatch = _band_pass(
+            qr, cr, rn, ln, P=P, boundary=boundary,
+            max_disparity=max_disparity, min_disparity=min_d, reverse=True,
+        )
+    else:
+        rmatch = jnp.zeros_like(match)
+    return best, match, rmatch
+
+
 def disparity_cost_argmin_pallas(
     PL: jax.Array,  # (8, H, W) left pattern stack
     PR: jax.Array,

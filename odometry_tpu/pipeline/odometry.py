@@ -61,6 +61,8 @@ class OdometryState:
     kf_pose: jax.Array  # (4, 4) keyframe absolute pose (cam-to-world)
     pose_init: jax.Array  # (4, 4) tracker warm start (reference affine_init_)
     cur_pose: jax.Array  # (4, 4) current absolute pose
+    prev_rel: jax.Array  # (4, 4) last frame-to-frame motion (for the
+    # constant-velocity warm start; identity until two frames exist)
     frame_id: jax.Array  # int32
     kf_count: jax.Array  # int32 number of keyframes so far
     healthy: jax.Array  # bool: last depth frame succeeded
@@ -118,6 +120,7 @@ def init(
         kf_pose=pose0,
         pose_init=se3_identity(),
         cur_pose=pose0,
+        prev_rel=se3_identity(),
         frame_id=jnp.asarray(0, jnp.int32),
         kf_count=jnp.asarray(1, jnp.int32),
         healthy=dres.ok,
@@ -202,6 +205,12 @@ def step(
 
     kf_pose_new = sel(cur_pose, state.kf_pose)
 
+    # Frame-to-frame motion estimate for the constant-velocity model. On a
+    # lost frame the held pose makes the measured motion identity, so keep
+    # the previous velocity instead of freezing the prediction.
+    rel = se3_compose(se3_inverse(state.cur_pose), cur_pose)
+    prev_rel = jnp.where(lost, state.prev_rel, rel) if cfg.keyframe.relocalize else rel
+
     # Warm start for the NEXT frame. Parity: both branches warm-start with
     # pose_to_keyframe (:261, :268). With reset_on_promote, promotion
     # restarts the relative pose at identity (the reference's own TODO at
@@ -209,12 +218,20 @@ def step(
     # instead reconstructs the start consistent with the HELD pose:
     # cur = kf_pose @ inv(T)  =>  T_init = inv(cur_pose) @ kf_pose
     # (= identity when this frame re-seeded the keyframe).
-    pose_init = track.T
-    if cfg.keyframe.reset_on_promote:
-        pose_init = jnp.where(promote, se3_identity(dtype=track.T.dtype), pose_init)
-    if cfg.keyframe.relocalize:
-        held_init = se3_compose(se3_inverse(cur_pose), kf_pose_new)
-        pose_init = jnp.where(lost, held_init, pose_init)
+    if cfg.tracker.warm_start == "constant_velocity":
+        # T maps kf-cam -> cur-cam, so T = inv(cur) @ kf_pose; predicting
+        # cur_next = cur @ prev_rel gives T_init = inv(prev_rel) @ inv(cur)
+        # @ kf_pose_new — correct across promotions and holds by design.
+        pose_init = se3_compose(
+            se3_inverse(prev_rel), se3_compose(se3_inverse(cur_pose), kf_pose_new)
+        )
+    else:
+        pose_init = track.T
+        if cfg.keyframe.reset_on_promote:
+            pose_init = jnp.where(promote, se3_identity(dtype=track.T.dtype), pose_init)
+        if cfg.keyframe.relocalize:
+            held_init = se3_compose(se3_inverse(cur_pose), kf_pose_new)
+            pose_init = jnp.where(lost, held_init, pose_init)
 
     new_state = OdometryState(
         kf_pyr=sel(pyr_cur, state.kf_pyr),
@@ -224,6 +241,7 @@ def step(
         kf_pose=kf_pose_new,
         pose_init=pose_init,
         cur_pose=cur_pose,
+        prev_rel=prev_rel,
         frame_id=state.frame_id + 1,
         kf_count=state.kf_count + promote.astype(jnp.int32),
         healthy=dres.ok,
