@@ -78,9 +78,20 @@ class TrackerConfig:
     # frame's pose_to_keyframe in both branches (Reset(pose_to_keyframe),
     # run_odometry_kitti_offline.cpp:261,268 — can sit a keyframe-interval of
     # flow from the optimum). "constant_velocity" extrapolates the last
-    # frame-to-frame motion: T_init = inv(m) @ inv(cur) @ kf_pose — starts
-    # within the last step's acceleration of the optimum, cutting the LM
-    # iteration budget ~3-5x on smooth trajectories (beyond-reference).
+    # frame-to-frame motion: T_init = inv(m) @ inv(cur) @ kf_pose.
+    #
+    # CAUTION: constant_velocity is UNSTABLE on weakly-conditioned scenes
+    # (e.g. a single dominant plane, where the plane-induced-homography
+    # ambiguity leaves flat valleys in the photometric cost). The
+    # extrapolation is a two-term recurrence on past ESTIMATES, so estimate
+    # noise along the degenerate directions is amplified frame over frame
+    # until tracking diverges — measured: mte 0.06 -> 4.6 on a 49-frame
+    # planar sequence, while "reference" warm-starting stays bounded because
+    # each start inherits only ONE previous estimate and its error lies
+    # mostly along well-conditioned image-flow directions. Teacher-forced
+    # solves are identical from either start (the solver is not at fault);
+    # closed-loop feedback is. Use only on geometry-rich scenes, and prefer
+    # "reference" for anything production-facing.
     warm_start: str = "reference"
 
 
@@ -214,8 +225,7 @@ def accurate_config() -> PipelineConfig:
     at the reference's tuning.
     """
     return PipelineConfig(
-        tracker=TrackerConfig(interp="bilinear", depth_decimation="even",
-                              warm_start="constant_velocity"),
+        tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
         depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
@@ -230,8 +240,7 @@ def fast_config() -> PipelineConfig:
     return PipelineConfig(
         tracker=TrackerConfig(interp="mm", depth_decimation="even",
                               step_tol=1e-5, point_capacity=8192,
-                              point_order="spread",
-                              warm_start="constant_velocity"),
+                              point_order="spread"),
         depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
                           range_limited_search=True, precision=0.99,
                           max_residuals=16384, point_order="spread"),

@@ -1,0 +1,125 @@
+"""On-chip Pallas kernel parity harness.
+
+The CI suite runs on CPU, where Pallas executes in INTERPRET mode
+(utils/platform.pallas_interpret) — it validates kernel algebra, not the
+Mosaic lowering. This tool re-runs every Pallas kernel against its XLA
+reference path ON THE REAL TPU and reports mismatches; it is the gate for
+letting `backend="auto"` select a kernel on hardware (see the round-3 note in
+kernels/disparity.py — the banded kernel shipped interpret-clean but wrong
+on-chip).
+
+Usage:  python tools/tpu_parity.py [--case NAME] [--interpret]
+
+--interpret forces interpret mode on the TPU backend, which distinguishes
+Mosaic lowering bugs (interpret matches, compiled doesn't) from algorithm
+bugs (both differ from XLA).
+
+Exit code 0 iff every case matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _stereo(H, W, seed=0):
+    from odometry_tpu.camera import Pinhole
+    from odometry_tpu.data.synthetic import make_scene, render_stereo
+    from odometry_tpu.image import gaussian_blur3
+
+    cam = Pinhole.create(0.58 * W, 0.58 * W, W / 2.0, H / 2.0)
+    scene = make_scene(seed + 3, depth=14.0)
+    left, right, _ = render_stereo(scene, cam, 0.537, jnp.eye(4), H, W)
+    return gaussian_blur3(left), gaussian_blur3(right)
+
+
+def _compare_disparity(ls, rs, *, max_disp, lr_check, label, results):
+    from odometry_tpu.kernels.select import select_points
+    from odometry_tpu.kernels.disparity import disparity_search
+
+    H, W = ls.shape
+    sel = select_points(ls, boundary=4, block_rows=8, block_cols=16,
+                        grad_th=8.0, max_points_per_block=80)
+    kw = dict(fx=0.58 * W, baseline=0.537, boundary=4, ssd_th=900.0,
+              lr_check=lr_check, max_disparity=max_disp)
+    rx = disparity_search(ls, rs, sel, backend="xla", **kw)
+    rp = disparity_search(ls, rs, sel, backend="pallas", **kw)
+    mx, mp = np.asarray(rx.matched), np.asarray(rp.matched)
+    match_diff = int((mx != mp).sum())
+    both = mx & mp
+    dd = np.abs(np.asarray(rx.disparity) - np.asarray(rp.disparity))[both]
+    ds = np.abs(np.asarray(rx.best_ssd) - np.asarray(rp.best_ssd))[both]
+    ok = match_diff == 0 and (dd.size == 0 or dd.max() == 0) and (
+        ds.size == 0 or ds.max() < 0.5)
+    results.append((label, ok,
+                    f"matched_diff={match_diff} "
+                    f"max|dd|={dd.max() if dd.size else 0:.1f} "
+                    f"max|dssd|={ds.max() if ds.size else 0:.2f} "
+                    f"n={int(mx.sum())}"))
+    return ok
+
+
+def case_band(results, sizes=((48, 256, 64), (64, 384, 192), (376, 1241, 192))):
+    """Banded Pallas kernel vs XLA, across widths/bands."""
+    ok = True
+    for H, W, D in sizes:
+        ls, rs = _stereo(H, W)
+        for lr in (False, True):
+            ok &= _compare_disparity(ls, rs, max_disp=D, lr_check=lr,
+                                     label=f"band H{H} W{W} D{D} lr={lr}",
+                                     results=results)
+    return ok
+
+
+def case_full(results, sizes=((48, 256), (64, 640))):
+    """Full-search Pallas kernel vs XLA."""
+    ok = True
+    for H, W in sizes:
+        ls, rs = _stereo(H, W)
+        for lr in (False, True):
+            ok &= _compare_disparity(ls, rs, max_disp=None, lr_check=lr,
+                                     label=f"full H{H} W{W} lr={lr}",
+                                     results=results)
+    return ok
+
+
+CASES = {"band": case_band, "full": case_full}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", choices=sorted(CASES), default=None)
+    ap.add_argument("--interpret", action="store_true",
+                    help="force Pallas interpret mode (lowering-vs-algebra split)")
+    args = ap.parse_args(argv)
+
+    if args.interpret:
+        from odometry_tpu.utils import platform
+        platform.pallas_interpret = lambda: True  # monkeypatch the gate
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} platform={dev.platform}", file=sys.stderr)
+
+    results = []
+    all_ok = True
+    for name, fn in sorted(CASES.items()):
+        if args.case and name != args.case:
+            continue
+        t0 = time.time()
+        all_ok &= fn(results)
+        print(f"[{name}] done in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    width = max(len(r[0]) for r in results)
+    for label, ok, detail in results:
+        print(f"{'PASS' if ok else 'FAIL'}  {label:<{width}}  {detail}")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
