@@ -37,17 +37,12 @@ def batched_init(
     return jax.jit(f)(left_b, right_b)
 
 
-def batched_step(
-    states: OdometryState,
-    left_b: jax.Array,
-    right_b: jax.Array,
-    cfg: PipelineConfig,
-    mesh: Mesh,
-):
-    """One odometry step for every sequence; returns (states, outs, global_ok).
+@functools.cache
+def step_fn_for_mesh(cfg: PipelineConfig, mesh: Mesh):
+    """The jitted sharded sweep step for (cfg, mesh), cached.
 
-    global_ok is an ICI psum-reduction: True iff every sequence on every
-    device is still healthy (depth frontend succeeding).
+    Exposed (rather than private to :func:`batched_step`) so the scaling
+    harness can ``.lower().compile()`` it for cost analysis without running.
     """
 
     def local(state, l, r):
@@ -64,7 +59,22 @@ def batched_step(
         out_specs=(P("seq"), P("seq"), P()),
         check_vma=False,
     )
-    return jax.jit(f)(states, left_b, right_b)
+    return jax.jit(f)
+
+
+def batched_step(
+    states: OdometryState,
+    left_b: jax.Array,
+    right_b: jax.Array,
+    cfg: PipelineConfig,
+    mesh: Mesh,
+):
+    """One odometry step for every sequence; returns (states, outs, global_ok).
+
+    global_ok is an ICI psum-reduction: True iff every sequence on every
+    device is still healthy (depth frontend succeeding).
+    """
+    return step_fn_for_mesh(cfg, mesh)(states, left_b, right_b)
 
 
 def run_sweep(

@@ -93,14 +93,16 @@ def disparity_search(
         from odometry_tpu.utils.platform import on_tpu
         from odometry_tpu.kernels.disparity_pallas import pallas_width_ok
 
-        # The banded Pallas kernel (disparity_band_pallas) currently
-        # MISMATCHES the XLA reference on real TPU hardware (interpret-mode
-        # parity passes; measured on-chip: winners differ on ~1% of pixels,
-        # disparities by up to 17 px). Until the on-chip parity harness
-        # (tools/tpu_parity.py) passes, auto never selects it; it stays
-        # reachable via backend="pallas" for debugging.
+        # On-chip parity (tools/tpu_parity.py) passes for BOTH Pallas kernels
+        # since the _split3 fix (hi must be bf16(x), not round(x), whose
+        # exactness silently required |x| <= 256): winners agree with the XLA
+        # path everywhere except SSD near-ties within the split's ~0.25
+        # absolute error band, where 1-2 px per KITTI frame flip to an
+        # equally-scoring candidate. auto therefore selects Pallas on TPU;
+        # banded when a disparity band is configured, full-search when the
+        # width fits the per-row cost-matrix VMEM budget.
         banded = max_disparity is not None
-        backend = "pallas" if (on_tpu() and not banded and pallas_width_ok(W)) else "xla"
+        backend = "pallas" if (on_tpu() and (banded or pallas_width_ok(W))) else "xla"
     if backend == "pallas" and max_disparity is not None:
         # Banded fused kernel: compute only the [min_disparity, max_disparity]
         # candidate band as MXU tiles along the diagonal — width-unlimited.

@@ -132,17 +132,22 @@ def _band_kernel(*refs, R, NT, P, boundary, max_disparity, min_disparity,
 def _split3(x: jax.Array):
     """Split f32 into three EXACTLY-bf16-representable parts, x ~ hi+mid+lo.
 
-    hi = round(x) (integers <= 256 are exact in bf16 for image-range data),
-    mid = bf16(x - hi), lo = bf16 residual. Products of any two parts are
-    then exact in the MXU's f32 accumulation; the only loss is the bf16
-    rounding of lo's own residual (< 2^-17 absolute for |x| <= 255, i.e.
-    SSD error ~1e-2 — f32-class accuracy from a single bf16 pass).
+    hi = bf16(x) is exact BY CONSTRUCTION (it is a bf16 value), so the split
+    holds for any magnitude; then r1 = x - hi is exact in f32 (Sterbenz-style
+    cancellation: hi and x agree in their leading bits), mid = bf16(r1),
+    lo = bf16(r1 - mid). Products of any two parts are exact in the MXU's
+    f32 accumulation; the only loss is the bf16 rounding of lo's own residual
+    (relative ~2^-24, i.e. f32-class accuracy from a single bf16 pass).
+
+    An earlier version used hi = round(x), whose exactness silently required
+    |x| <= 256 — synthetic frames reach |x| ~ 470 after rendering, which
+    corrupted SSDs by hundreds (the round-2 on-chip parity failure).
     """
-    hi = jnp.round(x)
-    r1 = x - hi
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi.astype(jnp.bfloat16), mid, lo
+    return hi, mid, lo
 
 
 def _split_stacks(Q: jax.Array, C: jax.Array):

@@ -119,3 +119,42 @@ def test_graft_entry_contract():
     new_state, out = jax.jit(fn)(*args)
     assert out.cur_pose.shape == (4, 4)
     ge.dryrun_multichip(8)
+
+
+def test_multihost_init_noop_single_process():
+    from odometry_tpu.distributed.scaling import initialize_multihost
+
+    # Single process, no env: must be a no-op returning False (drivers call
+    # it unconditionally).
+    assert initialize_multihost() is False
+
+
+def test_sweep_weak_scaling_analytic():
+    """The DP sweep is embarrassingly parallel: per-device FLOPs must stay
+    flat (>=80% efficiency — in practice ~100%) and per-step collective
+    traffic must be O(bytes) as the mesh grows 1 -> 8. This is the property
+    that transfers to a real pod slice; wall-clock on the virtual CPU mesh
+    measures the host, not the design (see distributed/scaling.py)."""
+    from odometry_tpu.distributed.scaling import sweep_scaling_report
+
+    rows = sweep_scaling_report(CFG, [1, 2, 8], timed=False)
+    base = rows[0]["flops_per_device"]
+    assert base > 0
+    for r in rows:
+        assert r["analytic_efficiency_pct"] >= 80.0, rows
+        # The only collectives are the health/metric psums: tiny and
+        # frame-size independent (measured: 8 bytes/step).
+        assert 0 < r["collective_bytes"] < 4096, rows
+
+
+def test_stack_local_frames_sharding():
+    from odometry_tpu.distributed.scaling import stack_local_frames
+
+    mesh = sequence_mesh(8)
+    lefts, rights = _frames(8)
+    frames = list(zip(list(lefts), list(rights)))
+    lb, rb = stack_local_frames(frames, mesh)
+    assert lb.shape == (8, H, W) and rb.shape == (8, H, W)
+    # One shard per device along the sequence axis.
+    assert len(lb.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lefts))

@@ -20,8 +20,11 @@ Exit code 0 iff every case matches.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -51,28 +54,52 @@ def _compare_disparity(ls, rs, *, max_disp, lr_check, label, results):
     rx = disparity_search(ls, rs, sel, backend="xla", **kw)
     rp = disparity_search(ls, rs, sel, backend="pallas", **kw)
     mx, mp = np.asarray(rx.matched), np.asarray(rp.matched)
-    match_diff = int((mx != mp).sum())
     both = mx & mp
     dd = np.abs(np.asarray(rx.disparity) - np.asarray(rp.disparity))[both]
     ds = np.abs(np.asarray(rx.best_ssd) - np.asarray(rp.best_ssd))[both]
-    ok = match_diff == 0 and (dd.size == 0 or dd.max() == 0) and (
-        ds.size == 0 or ds.max() < 0.5)
+    # Exact argmin equality across two float algorithms is ill-posed at SSD
+    # ties: the Pallas kernel's 3-way bf16 split carries ~0.25 absolute SSD
+    # error (at image-range magnitudes), so candidates within that band of
+    # each other can legitimately swap winners. Criterion: every winner flip
+    # must be a near-tie (its two winners' SSDs within SSD_TIE_TOL) and flips
+    # must be rare; matched flips likewise only at the ssd_th boundary.
+    SSD_TIE_TOL = 0.5
+    MAX_FLIP_FRACTION = 0.005
+    n = int(both.sum())
+    flips = dd > 0
+    tie_ok = bool((ds[flips] < SSD_TIE_TOL).all()) if flips.any() else True
+    match_flips = mx != mp
+    match_diff = int(match_flips.sum())
+    if match_diff:
+        near_th = np.abs(
+            np.where(mx, np.asarray(rx.best_ssd), np.asarray(rp.best_ssd))
+            - kw["ssd_th"]
+        )[match_flips]
+        th_ok = bool((near_th < SSD_TIE_TOL).all())
+    else:
+        th_ok = True
+    ok = (tie_ok and th_ok
+          and int(flips.sum()) + match_diff <= max(2, int(MAX_FLIP_FRACTION * n))
+          and (ds.size == 0 or ds.max() < SSD_TIE_TOL))
     results.append((label, ok,
-                    f"matched_diff={match_diff} "
+                    f"matched_diff={match_diff} flips={int(flips.sum())} "
                     f"max|dd|={dd.max() if dd.size else 0:.1f} "
                     f"max|dssd|={ds.max() if ds.size else 0:.2f} "
-                    f"n={int(mx.sum())}"))
+                    f"n={n}"))
     return ok
 
 
-def case_band(results, sizes=((48, 256, 64), (64, 384, 192), (376, 1241, 192))):
-    """Banded Pallas kernel vs XLA, across widths/bands."""
+def case_band(results, sizes=((48, 256, 64, 0), (64, 384, 192, 0),
+                              (376, 1241, 192, 0), (376, 1241, 192, 2),
+                              (376, 1241, 192, 5))):
+    """Banded Pallas kernel vs XLA, across widths/bands/scenes (the extra
+    KITTI-size seeds exercise known near-tie flips, 1-2 px per frame)."""
     ok = True
-    for H, W, D in sizes:
-        ls, rs = _stereo(H, W)
+    for H, W, D, seed in sizes:
+        ls, rs = _stereo(H, W, seed)
         for lr in (False, True):
             ok &= _compare_disparity(ls, rs, max_disp=D, lr_check=lr,
-                                     label=f"band H{H} W{W} D{D} lr={lr}",
+                                     label=f"band H{H} W{W} D{D} s{seed} lr={lr}",
                                      results=results)
     return ok
 
