@@ -72,7 +72,10 @@ class TrackerConfig:
     # Capacity-truncation order: "row" = reference parity (first N valid in
     # row-major order); "spread" = 8x8 phase-interleaved enumeration, so a
     # truncated selection is a spatially uniform subsample (required when
-    # point_capacity is set below the typical valid count).
+    # point_capacity is set below the typical valid count); "blocked" = the
+    # TPU-fast spatially-capped per-tile top_k (same uniformity intent as
+    # spread at ~1/40 the cost — the global nonzero compaction spread/row use
+    # lowers to a full-image cumsum, ~4-9 ms per call at KITTI size).
     point_order: str = "row"
     # Warm-start policy for the per-frame solve. "reference" = the previous
     # frame's pose_to_keyframe in both branches (Reset(pose_to_keyframe),
@@ -240,10 +243,10 @@ def fast_config() -> PipelineConfig:
     return PipelineConfig(
         tracker=TrackerConfig(interp="mm", depth_decimation="even",
                               step_tol=1e-5, point_capacity=8192,
-                              point_order="spread"),
+                              point_order="blocked"),
         depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
                           range_limited_search=True, precision=0.99,
-                          max_residuals=16384, point_order="spread"),
+                          max_residuals=16384, point_order="blocked"),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0),

@@ -69,7 +69,7 @@ def disparity_search(
     lr_tol: int = 1,
     backend: str = "auto",
 ) -> DisparityResult:
-    """Full-search stereo matching for selected pixels.
+    """Full-search stereo matching for selected pixels (dense-map API).
 
     Matches the reference scan ``for right_x in [boundary, x)`` with
     first-minimum tie-breaking (strict `<` update at ``depth_estimate.cpp:385``
@@ -82,6 +82,42 @@ def disparity_search(
     formulation the reverse match is just an argmin over the other axis of the
     SAME per-row cost matrix, so the check is nearly free and kills the
     accidental-match outliers a lone SSD threshold lets through.
+
+    NOTE the production frontend (depth/estimator.py) consumes
+    :func:`disparity_winner_maps` + its own lane-level finalize instead: this
+    dense path's lr-check gather (``take_along_axis`` over the full image)
+    costs ~4.5 ms at KITTI size on TPU, vs microseconds on the <=16k
+    extracted lanes.
+    """
+    best, match, rmatch = disparity_winner_maps(
+        left, right,
+        boundary=boundary, max_disparity=max_disparity,
+        min_disparity=min_disparity, row_chunk=row_chunk,
+        lr_check=lr_check, backend=backend,
+    )
+    return _finalize(
+        left, best, match, rmatch, select_mask,
+        fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
+        lr_check=lr_check, lr_tol=lr_tol,
+    )
+
+
+def disparity_winner_maps(
+    left: jax.Array,
+    right: jax.Array,
+    *,
+    boundary: int = 4,
+    max_disparity: int | None = None,
+    min_disparity: int | None = None,
+    row_chunk: int = 8,
+    lr_check: bool = False,
+    backend: str = "auto",
+):
+    """(best, match, rmatch) dense winner maps, backend-dispatched.
+
+    best[y, x] = best SSD for left pixel x; match[y, x] = its right-image
+    column; rmatch[y, xr] = best left column for right pixel xr (zeros when
+    lr_check=False). Thresholding/assembly left to the caller.
     """
     H, W = left.shape
     PL = pattern_stack(left)  # (8, H, W)
@@ -108,15 +144,10 @@ def disparity_search(
         # candidate band as MXU tiles along the diagonal — width-unlimited.
         from odometry_tpu.kernels.disparity_pallas import disparity_band_pallas
 
-        best, match, rmatch = disparity_band_pallas(
+        return disparity_band_pallas(
             PL, PR, ln, rn, boundary=boundary,
             max_disparity=max_disparity, min_disparity=min_disparity,
             lr=lr_check,
-        )
-        return _finalize(
-            left, best, match, rmatch, select_mask,
-            fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
-            lr_check=lr_check, lr_tol=lr_tol,
         )
     if backend == "pallas":
         from odometry_tpu.kernels.disparity_pallas import (
@@ -130,14 +161,9 @@ def disparity_search(
                 "(per-row (Wp, Wp) cost matrices); use backend='xla' or 'auto'"
             )
 
-        best, match, rmatch = disparity_cost_argmin_pallas(
+        return disparity_cost_argmin_pallas(
             PL, PR, ln, rn, boundary=boundary,
             max_disparity=max_disparity, min_disparity=min_disparity,
-        )
-        return _finalize(
-            left, best, match, rmatch, select_mask,
-            fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
-            lr_check=lr_check, lr_tol=lr_tol,
         )
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)  # left pixel x
@@ -177,11 +203,7 @@ def disparity_search(
     best = best.reshape(-1, W)[:H]
     match = match.reshape(-1, W)[:H]
     rmatch = rmatch.reshape(-1, W)[:H]
-    return _finalize(
-        left, best, match, rmatch, select_mask,
-        fx=fx, baseline=baseline, boundary=boundary, ssd_th=ssd_th,
-        lr_check=lr_check, lr_tol=lr_tol,
-    )
+    return best, match, rmatch
 
 
 def _finalize(

@@ -80,24 +80,32 @@ def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
         rmatch_ref[r, 0, :] = jnp.min(ridx, axis=0).astype(jnp.int32)
 
 
-def _band_kernel(*refs, R, NT, P, boundary, max_disparity, min_disparity,
-                 reverse):
-    """Banded SSD + first-minimum argmin for one (R rows, 128 query px) step.
+def _band_kernel(*refs, R, NT, P, with_rev):
+    """Banded SSD + first-minimum winners for one (R rows, 128 query px) step.
 
-    Query patterns: (R, 8, 128). Candidate slab: NT=P/128+1 tiles of the other
-    image concatenated to (R, 8, S), S = P + 128. Forward (left->right):
-    slab covers xr in [128t - P, 128t + 128), disparity d = i - j + P.
-    Reverse (right->left): slab covers xs in [128t, 128t + 128 + P),
-    d = j - i. Only the band min_disparity <= d <= max_disparity competes;
-    everything else scores BIG.
+    One fused pass produces BOTH directions of the left-right check:
+    forward (per left pixel x: best SSD + first-minimum candidate j over the
+    slab) and, when `with_rev`, per-slab-column reverse partial minima over
+    the step's 128 queries (combined across overlapping steps by the caller —
+    each candidate column is covered by up to NT query tiles).
+
+    Query patterns: (R, K, 128) bf16 split-stacks (see :func:`_split3`).
+    Candidate slab: NT=P/128+1 tiles concatenated to (R, K, S), S = P + 128,
+    covering xr in [128t - P, 128t + 128); disparity d = i - j + P. The band
+    constraint (min_d <= d <= max_d) depends only on (i, j), so it arrives as
+    a precomputed additive {0, BIG} mask input instead of per-step
+    iota+compare chains (measured: the masking passes, not the MXU work,
+    dominate this kernel). The boundary/image-edge constraints are baked into
+    the BIG-padded norm inputs by the caller.
     """
     pl_ref = refs[0]
     cand_refs = refs[1 : 1 + NT]
     ln_ref = refs[1 + NT]
     cn_refs = refs[2 + NT : 2 + 2 * NT]
-    best_ref, match_ref = refs[2 + 2 * NT], refs[3 + 2 * NT]
-    t = pl.program_id(1)
-    q = pl_ref[...]  # (R, K, 128) bf16 split-stack (see _split3)
+    bm_ref = refs[2 + 2 * NT]
+    out_refs = refs[3 + 2 * NT :]
+    best_ref, match_ref = out_refs[0], out_refs[1]
+    q = pl_ref[...]  # (R, K, 128)
     cand = jnp.concatenate([c[...] for c in cand_refs], axis=2)
     cn = jnp.concatenate([c[...] for c in cn_refs], axis=2)
     qn = ln_ref[...]  # (R, 1, 128)
@@ -110,23 +118,26 @@ def _band_kernel(*refs, R, NT, P, boundary, max_disparity, min_disparity,
         q, cand, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (R, 128, S)
-    ssd = qn.transpose(0, 2, 1) + cn - 2.0 * cross  # (R,128,S) via broadcast
-    i = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 2)
-    if reverse:
-        d = j - i
-        cand_x = 128 * t + j  # candidate = left pixel xs
-        ok = (d >= min_disparity) & (d <= max_disparity)
-    else:
-        d = i - j + P
-        cand_x = 128 * t - P + j  # candidate = right pixel xr
-        ok = (d >= min_disparity) & (d <= max_disparity) & (cand_x >= boundary)
-    ssd = jnp.where(ok, ssd, jnp.float32(_BIG))
+    # qn BIG-pads make padded queries lose every reverse min; cn BIG-pads
+    # (pad region + boundary columns) make those candidates lose forward
+    # mins; bm adds BIG outside the disparity band.
+    # Same FP association as the XLA path (qn + cn - 2*cross) so accepted
+    # winners agree bit-for-bit; the mask add comes last (BIG dwarfs any real
+    # SSD, so masked lanes can never win a min).
+    ssd = (qn.transpose(0, 2, 1) + cn - 2.0 * cross) + bm_ref[...][None]
     best = jnp.min(ssd, axis=2)  # (R, 128)
-    idx = jnp.where(ssd == best[:, :, None], cand_x, jnp.int32(2**30))
-    match = jnp.min(idx, axis=2).astype(jnp.int32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 2)
+    idx = jnp.where(ssd == best[:, :, None], j, jnp.int32(2**30))
+    match_ref[...] = jnp.min(idx, axis=2).astype(jnp.int32)
     best_ref[...] = best
-    match_ref[...] = match
+    if with_rev:
+        rbest_ref, ridx_ref = out_refs[2], out_refs[3]
+        rbest = jnp.min(ssd, axis=1)  # (R, S): per-candidate best over queries
+        i = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 1)
+        ridx = jnp.where(ssd == rbest[:, None, :], i, jnp.int32(2**30))
+        ridx = jnp.min(ridx, axis=1).astype(jnp.int32)
+        rbest_ref[...] = rbest.reshape(R, NT, 128)
+        ridx_ref[...] = ridx.reshape(R, NT, 128)
 
 
 def _split3(x: jax.Array):
@@ -160,36 +171,64 @@ def _split_stacks(Q: jax.Array, C: jax.Array):
     return q72, c72
 
 
-def _band_pass(Q, C, qn, cn, *, P, boundary, max_disparity, min_disparity,
-               reverse, R=8):
-    """One direction of the banded search. Q/C: (K, H, W) bf16 split K-stacks
-    (from :func:`_split_stacks`) of the query/candidate images; qn/cn the f32
-    squared pattern norms. Returns (best, match) as (H, W)."""
+def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
+               with_rev, R=16):
+    """Single fused pass of the banded search. Q/C: (K, H, W) bf16 split
+    K-stacks (from :func:`_split_stacks`) of the left/right images; qn/cn the
+    f32 squared pattern norms. Returns (best, match[, rmatch]) as (H, W):
+    best/match the forward (per-left-pixel) winner, rmatch the per-right-pixel
+    reverse winner over the same in-band pair set (None unless `with_rev`)."""
+    import numpy as np
+
     K, H, W = Q.shape
     Wp = -(-W // 128) * 128
     Hp = -(-H // R) * R
     NT = P // 128 + 1
-    # Candidate image padded so every slab is NT aligned 128-tiles.
-    if reverse:
-        cpad = (0, P + (Wp - W))
-    else:
-        cpad = (P, Wp - W)
+    S = P + 128
+    # Candidate (right) image padded so every slab is NT aligned 128-tiles:
+    # slab for query tile t covers xr in [128t - P, 128t + 128) = padded
+    # tiles t..t+NT-1.
+    cpad = (P, Wp - W)
     Qp = jnp.pad(Q, ((0, 0), (0, Hp - H), (0, Wp - W))).transpose(1, 0, 2)
     Cp = jnp.pad(C, ((0, 0), (0, Hp - H), cpad)).transpose(1, 0, 2)
-    qnp = jnp.pad(qn, ((0, Hp - H), (0, Wp - W)))[:, None, :]
+    # BIG-padded norms double as masks: padded queries lose reverse minima,
+    # out-of-image and sub-boundary candidates lose forward minima
+    # (xr >= boundary is the reference scan's lower bound,
+    # depth_estimate.cpp:382).
+    qnp = jnp.pad(qn, ((0, Hp - H), (0, Wp - W)), constant_values=_BIG)[:, None, :]
+    xr_col = jnp.arange(W)[None, :]
+    cn = jnp.where(xr_col < boundary, jnp.float32(_BIG), cn)
     cnp = jnp.pad(cn, ((0, Hp - H), cpad), constant_values=_BIG)[:, None, :]
+    # Static band mask over (query lane i, slab column j): d = i - j + P.
+    ii = np.arange(128)[:, None]
+    jj = np.arange(S)[None, :]
+    d = ii - jj + P
+    bm = jnp.asarray(
+        np.where((d >= min_disparity) & (d <= max_disparity), 0.0, _BIG),
+        jnp.float32,
+    )
 
     grid = (Hp // R, Wp // 128)
-    kernel = functools.partial(
-        _band_kernel, R=R, NT=NT, P=P, boundary=boundary,
-        max_disparity=max_disparity, min_disparity=min_disparity,
-        reverse=reverse,
-    )
-    # Slab in padded coords: forward [128t - P, 128t + 128) and reverse
-    # [128t, 128t + 128 + P) both become aligned tiles t + k of the padded
-    # candidate image (forward pads P on the left, reverse on the right).
+    kernel = functools.partial(_band_kernel, R=R, NT=NT, P=P, with_rev=with_rev)
     cmaps = [lambda r, t, k=k: (r, 0, t + k) for k in range(NT)]
-    best, match = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+    ]
+    if with_rev:
+        out_specs += [
+            pl.BlockSpec((R, NT, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, NT, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((Hp, NT, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, NT, Wp), jnp.int32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -197,18 +236,42 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, max_disparity, min_disparity,
             *[pl.BlockSpec((R, K, 128), m, memory_space=pltpu.VMEM) for m in cmaps],
             pl.BlockSpec((R, 1, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
             *[pl.BlockSpec((R, 1, 128), m, memory_space=pltpu.VMEM) for m in cmaps],
+            pl.BlockSpec((128, S), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=pallas_interpret(),
-    )(Qp, *([Cp] * NT), qnp, *([cnp] * NT))
-    return best[:H, :W], match[:H, :W]
+    )(Qp, *([Cp] * NT), qnp, *([cnp] * NT), bm)
+    best, match_j = outs[0], outs[1]
+    # Forward winner: slab column j at query column x maps to
+    # xr = 128*(x//128) - P + j.
+    xcol = jnp.arange(Wp)[None, :]
+    match = (xcol // 128) * 128 - P + match_j
+    if not with_rev:
+        return best[:H, :W], match[:H, :W], None
+
+    # Reverse combine. Step (r, t)'s partial k covers candidate tile
+    # (t - (NT-1) + k), stored at [row, k, 128t + jj]; so for candidate
+    # column xr the covering entries sit at [row, k, xr + 128*(NT-1-k)],
+    # with query pixels xs = 128*(xr//128 + NT-1-k) + i. Combine smallest-xs
+    # first (larger k), replacing only on strict improvement, to keep the
+    # reference's first-minimum tie rule.
+    rb_parts, ri_parts = outs[2], outs[3]
+    rbest = jnp.full((Hp, Wp), jnp.float32(_BIG * 4))
+    rmatch = jnp.zeros((Hp, Wp), jnp.int32)
+    pad_cols = 128 * (NT - 1)
+    rb_pad = jnp.pad(rb_parts, ((0, 0), (0, 0), (0, pad_cols)),
+                     constant_values=_BIG * 4)
+    ri_pad = jnp.pad(ri_parts, ((0, 0), (0, 0), (0, pad_cols)))
+    for k in range(NT - 1, -1, -1):
+        shift = 128 * (NT - 1 - k)
+        bk = jax.lax.dynamic_slice_in_dim(rb_pad[:, k], shift, Wp, axis=1)
+        ik = jax.lax.dynamic_slice_in_dim(ri_pad[:, k], shift, Wp, axis=1)
+        xs_k = (xcol // 128) * 128 + shift + ik
+        take = bk < rbest
+        rbest = jnp.where(take, bk, rbest)
+        rmatch = jnp.where(take, xs_k, rmatch)
+    return best[:H, :W], match[:H, :W], rmatch[:H, :W]
 
 
 def disparity_band_pallas(
@@ -231,17 +294,11 @@ def disparity_band_pallas(
     min_d = 1 if min_disparity is None else max(1, min_disparity)
     P = -(-max_disparity // 128) * 128
     qf, cf = _split_stacks(PL, PR)
-    best, match = _band_pass(
+    best, match, rmatch = _band_pass(
         qf, cf, ln, rn, P=P, boundary=boundary,
-        max_disparity=max_disparity, min_disparity=min_d, reverse=False,
+        max_disparity=max_disparity, min_disparity=min_d, with_rev=lr,
     )
-    if lr:
-        qr, cr = _split_stacks(PR, PL)
-        _, rmatch = _band_pass(
-            qr, cr, rn, ln, P=P, boundary=boundary,
-            max_disparity=max_disparity, min_disparity=min_d, reverse=True,
-        )
-    else:
+    if rmatch is None:
         rmatch = jnp.zeros_like(match)
     return best, match, rmatch
 

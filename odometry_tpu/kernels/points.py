@@ -53,8 +53,19 @@ def extract_points(
     ...), so the first `capacity` valid pixels form a spatially uniform
     subsample — safe to truncate aggressively. Implemented as a blocked
     transpose (dense relayout, no gathers).
+
+    order="blocked": spatially-capped per-tile extraction — the image is cut
+    into ~capacity/16 tiles and each tile keeps its first (row-major) valid
+    pixels up to a fixed slot budget, via one batched ``lax.top_k``. Same
+    spatial-uniformity intent as "spread" but WITHOUT the global
+    stream-compaction: jnp.nonzero lowers to a full-image cumsum that costs
+    ~4-9 ms at KITTI size on TPU (measured, round-3 trace), vs ~0.2 ms for
+    the batched per-tile sort. Tiles with more valid pixels than slots
+    truncate (a spatial cap); underfull tiles leave masked lanes.
     """
     H, W = values.shape
+    if order == "blocked":
+        return _extract_points_blocked(values, mask, capacity)
     if order == "spread":
         t = 8
         Hp, Wp = -(-H // t) * t, -(-W // t) * t
@@ -87,6 +98,73 @@ def extract_points(
     lane = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
     valid = lane < count
     return PointSet(xs, ys, vals, valid, count)
+
+
+def _blocked_grid(H: int, W: int, capacity: int, slots: int = 16):
+    """Pick (S, nby, nbx, th, tw): S slots per tile over an nby x nbx tile
+    grid with nby*nbx*S == capacity and roughly square tiles. Returns None
+    when the shape cannot support the blocked layout (tiny images)."""
+    S = slots
+    while S > 1 and capacity % S != 0:
+        S >>= 1
+    B = capacity // S
+    if B < 1:
+        return None
+    # nby = power-of-two closest to sqrt(B*H/W), kept within [1, B].
+    import math
+
+    target = math.sqrt(max(B * H / max(W, 1), 1e-9))
+    nby = 1
+    while nby * 2 <= B and abs(math.log2(nby * 2) - math.log2(target)) <= abs(
+        math.log2(nby) - math.log2(target)
+    ):
+        nby *= 2
+    while B % nby != 0:
+        nby >>= 1
+    nbx = B // nby
+    th = -(-H // nby)
+    tw = -(-W // nbx)
+    if th * tw < S or th < 1 or tw < 1:
+        return None
+    return S, nby, nbx, th, tw
+
+
+def _extract_points_blocked(values: jax.Array, mask: jax.Array, capacity: int) -> PointSet:
+    """Per-tile first-N extraction via batched top_k (see extract_points)."""
+    H, W = values.shape
+    grid = _blocked_grid(H, W, capacity)
+    if grid is None:
+        # Degenerate shapes (tests with tiny pyramids): exact spread fallback.
+        return extract_points(values, mask, capacity, order="spread")
+    S, nby, nbx, th, tw = grid
+    B = nby * nbx
+    Hp, Wp = nby * th, nbx * tw
+    mpad = jnp.pad(mask, ((0, Hp - H), (0, Wp - W)))
+    vpad = jnp.pad(values, ((0, Hp - H), (0, Wp - W)))
+    # (nby, th, nbx, tw) -> (B, th*tw)
+    mb = mpad.reshape(nby, th, nbx, tw).transpose(0, 2, 1, 3).reshape(B, th * tw)
+    vb = vpad.reshape(nby, th, nbx, tw).transpose(0, 2, 1, 3).reshape(B, th * tw)
+    # Priority: valid lanes by ascending within-tile row-major index.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, th * tw), 1)
+    prio = jnp.where(mb, -lane, jnp.int32(-(2**30)))
+    top, idx = jax.lax.top_k(prio, S)  # (B, S)
+    valid = top > -(2**30)
+    vals = jnp.take_along_axis(vb, idx, axis=1)
+    dy = idx // tw
+    dx = idx % tw
+    t = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+    ys = (t // nbx) * th + dy
+    xs = (t % nbx) * tw + dx
+    valid = valid & (ys < H) & (xs < W)
+    flat = lambda a: a.reshape(-1)
+    valid = flat(valid)
+    return PointSet(
+        flat(xs).astype(jnp.float32),
+        flat(ys).astype(jnp.float32),
+        jnp.where(valid, flat(vals), 0.0),
+        valid,
+        jnp.sum(valid).astype(jnp.int32),
+    )
 
 
 def depth_point_pyramid(
