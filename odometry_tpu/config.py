@@ -246,7 +246,7 @@ def fast_config() -> PipelineConfig:
                               point_order="blocked"),
         depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
                           range_limited_search=True, precision=0.99,
-                          max_residuals=16384, point_order="blocked"),
+                          max_residuals=16384, point_order="spread"),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0),
