@@ -206,6 +206,39 @@ def kitti_config() -> PipelineConfig:
     return PipelineConfig()
 
 
+def adapt_to_camera(cfg: PipelineConfig) -> PipelineConfig:
+    """Scale KITTI-tuned structural parameters to ``cfg.camera``'s image size.
+
+    The reference asserts its input is exactly 376x1241 and hard-codes the
+    16x32 selection grid and the 500-survivor guard to that size
+    (``depth_estimate.cpp:37-49,300``) — any other resolution aborts. Presets
+    here stay KITTI-tuned; this helper adapts them to the actual camera:
+    block counts scale with each image dimension (keeping ~23x39 px blocks),
+    the survivor guard scales with area, and the pyramid is capped so the
+    coarsest level keeps >=12 px on the short side. At the KITTI size it is
+    the identity.
+    """
+    cam = cfg.camera
+    H, W = cam.height, cam.width
+    d, t = cfg.depth, cfg.tracker
+    br = max(2, min(d.block_rows, round(d.block_rows * H / 376.0)))
+    bc = max(2, min(d.block_cols, round(d.block_cols * W / 1241.0)))
+    mv = max(30, min(d.min_valid_points,
+                     round(d.min_valid_points * (H * W) / (376.0 * 1241.0))))
+    import math
+
+    short = min(H, W)
+    max_levels = max(1, int(math.log2(short / 12.0)) + 1) if short >= 12 else 1
+    nl = min(t.num_levels, max_levels)
+    mi = t.max_iterations[:nl]
+    return dataclasses.replace(
+        cfg,
+        tracker=dataclasses.replace(t, num_levels=nl, max_iterations=mi),
+        depth=dataclasses.replace(d, block_rows=br, block_cols=bc,
+                                  min_valid_points=mv),
+    )
+
+
 def tum_rgbd_config(fx=525.0, fy=525.0, cx=319.5, cy=239.5) -> PipelineConfig:
     """TUM RGB-D-shaped preset (sensor-depth tracking path, test_optimizer.cpp).
 
@@ -244,9 +277,13 @@ def fast_config() -> PipelineConfig:
         tracker=TrackerConfig(interp="mm", depth_decimation="even",
                               step_tol=1e-5, point_capacity=8192,
                               point_order="blocked"),
+        # Depth-side "blocked" is quality-ranked + SSD-threshold-aware
+        # (kernels/points.py priority path): measured 320.6 fps / mte 0.101
+        # vs spread's 291.6 fps / 0.142 on the bench scene — faster AND more
+        # accurate (the per-tile cap keeps the strongest-gradient matches).
         depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
                           range_limited_search=True, precision=0.99,
-                          max_residuals=16384, point_order="spread"),
+                          max_residuals=16384, point_order="blocked"),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0),

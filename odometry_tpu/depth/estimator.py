@@ -333,7 +333,22 @@ def compute_depth(
     # by that (the reference's max_residuals=80000 is looser than its own
     # selection maximum of 40960).
     cap = min(cfg.max_residuals, cfg.block_rows * cfg.block_cols * cfg.max_points_per_block)
-    pts = extract_points(best, sel, cap, order=cfg.point_order)
+    if cfg.point_order == "blocked":
+        # The blocked cap must not re-rank the selection stage's
+        # gradient-ordered points by scan order (round-3 regression: depth
+        # mte 0.131 -> 0.189): rank each tile's slots by gradient magnitude,
+        # and spend no slots on pixels the SSD threshold will cull anyway
+        # (they enter refinement at inverse depth 0 and always die at filter
+        # time — reference depth_estimate.cpp:176-197). XLA CSEs these
+        # gradients with select_points' own under the same jit.
+        from odometry_tpu.image.pyramid import central_gradients
+
+        gx, gy = central_gradients(left_s)
+        grad = jnp.sqrt(gx * gx + gy * gy)
+        pts = extract_points(best, sel & (best <= cfg.ssd_th), cap,
+                             order="blocked", priority=grad)
+    else:
+        pts = extract_points(best, sel, cap, order=cfg.point_order)
 
     # Lane-level finalize (thresholding + LR cycle check + disparity->inverse
     # depth), the _finalize semantics applied to <=cap lanes instead of the
@@ -344,7 +359,15 @@ def compute_depth(
     xs_l = pts.xs.astype(jnp.int32)
     best_l = pts.inv_depth  # extract carried the best-SSD values
     m_l = jnp.clip(clip_gather_2d(match, ys_l, xs_l), 0, W - 1)
-    matched_l = pts.valid & (best_l <= cfg.ssd_th)
+    # Border predicate: select_points already never selects outside the
+    # boundary margin, but the dense _finalize checked it explicitly — and-in
+    # the lane equivalent so a future select variant cannot silently break
+    # the invariant (costs ~nothing at <=16k lanes).
+    b = cfg.boundary
+    in_border = (
+        (ys_l >= b) & (ys_l < H - b) & (xs_l >= b) & (xs_l < W - b)
+    )
+    matched_l = pts.valid & in_border & (best_l <= cfg.ssd_th)
     if cfg.lr_check:
         back_l = clip_gather_2d(rmatch, ys_l, m_l)
         matched_l = matched_l & (jnp.abs(back_l - xs_l) <= cfg.lr_tol)

@@ -268,7 +268,14 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
         bk = jax.lax.dynamic_slice_in_dim(rb_pad[:, k], shift, Wp, axis=1)
         ik = jax.lax.dynamic_slice_in_dim(ri_pad[:, k], shift, Wp, axis=1)
         xs_k = (xcol // 128) * 128 + shift + ik
-        take = bk < rbest
+        # Keep rmatch=0 for candidate columns with no unmasked pair, matching
+        # the XLA backend's contract (its fully-masked columns argmin to 0):
+        # masked partials sit near k*_BIG (k>=1) plus a real-valued qn-2*cross
+        # term bounded by ~4e6 at image range ~500, while genuine SSDs are
+        # <= 8*(2*max|I|)^2 ~ 8e6 << _BIG/2 — so _BIG/2 cleanly separates.
+        # Such columns can never be reached via a matched forward winner, but
+        # the cross-backend rmatch values must agree for future consumers.
+        take = (bk < rbest) & (bk < jnp.float32(_BIG * 0.5))
         rbest = jnp.where(take, bk, rbest)
         rmatch = jnp.where(take, xs_k, rmatch)
     return best[:H, :W], match[:H, :W], rmatch[:H, :W]

@@ -40,6 +40,7 @@ def extract_points(
     mask: jax.Array,
     capacity: int,
     order: str = "row",
+    priority: jax.Array | None = None,
 ) -> PointSet:
     """Gather pixels where `mask` into a capacity-bounded PointSet.
 
@@ -55,17 +56,26 @@ def extract_points(
     transpose (dense relayout, no gathers).
 
     order="blocked": spatially-capped per-tile extraction — the image is cut
-    into ~capacity/16 tiles and each tile keeps its first (row-major) valid
-    pixels up to a fixed slot budget, via one batched ``lax.top_k``. Same
-    spatial-uniformity intent as "spread" but WITHOUT the global
-    stream-compaction: jnp.nonzero lowers to a full-image cumsum that costs
-    ~4-9 ms at KITTI size on TPU (measured, round-3 trace), vs ~0.2 ms for
-    the batched per-tile sort. Tiles with more valid pixels than slots
-    truncate (a spatial cap); underfull tiles leave masked lanes.
+    into ~capacity/16 tiles and each tile keeps a fixed slot budget of valid
+    pixels, via one batched ``lax.top_k``. Same spatial-uniformity intent as
+    "spread" but WITHOUT the global stream-compaction: jnp.nonzero lowers to
+    a full-image cumsum that costs ~4-9 ms at KITTI size on TPU (measured,
+    round-3 trace), vs ~0.2 ms for the batched per-tile sort. Tiles with more
+    valid pixels than slots truncate (a spatial cap); underfull tiles leave
+    masked lanes.
+
+    `priority` (blocked order only): per-pixel float quality score; each tile
+    then keeps its top-`slots` HIGHEST-priority valid pixels instead of the
+    first in scan order. This is required on the depth-frontend side, where
+    the selection stage ranks pixels by gradient strength
+    (``depth_estimate.cpp:300-342``) and refinement quality collapses if the
+    capacity cap silently re-ranks them by scan order (measured round 3:
+    mte 0.189 vs 0.131 on the bench scene). Ignored by "row"/"spread", whose
+    truncation order is the documented semantic.
     """
     H, W = values.shape
     if order == "blocked":
-        return _extract_points_blocked(values, mask, capacity)
+        return _extract_points_blocked(values, mask, capacity, priority)
     if order == "spread":
         t = 8
         Hp, Wp = -(-H // t) * t, -(-W // t) * t
@@ -129,8 +139,13 @@ def _blocked_grid(H: int, W: int, capacity: int, slots: int = 16):
     return S, nby, nbx, th, tw
 
 
-def _extract_points_blocked(values: jax.Array, mask: jax.Array, capacity: int) -> PointSet:
-    """Per-tile first-N extraction via batched top_k (see extract_points)."""
+def _extract_points_blocked(
+    values: jax.Array,
+    mask: jax.Array,
+    capacity: int,
+    priority: jax.Array | None = None,
+) -> PointSet:
+    """Per-tile top-k extraction via batched top_k (see extract_points)."""
     H, W = values.shape
     grid = _blocked_grid(H, W, capacity)
     if grid is None:
@@ -142,13 +157,21 @@ def _extract_points_blocked(values: jax.Array, mask: jax.Array, capacity: int) -
     mpad = jnp.pad(mask, ((0, Hp - H), (0, Wp - W)))
     vpad = jnp.pad(values, ((0, Hp - H), (0, Wp - W)))
     # (nby, th, nbx, tw) -> (B, th*tw)
-    mb = mpad.reshape(nby, th, nbx, tw).transpose(0, 2, 1, 3).reshape(B, th * tw)
-    vb = vpad.reshape(nby, th, nbx, tw).transpose(0, 2, 1, 3).reshape(B, th * tw)
-    # Priority: valid lanes by ascending within-tile row-major index.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, th * tw), 1)
-    prio = jnp.where(mb, -lane, jnp.int32(-(2**30)))
-    top, idx = jax.lax.top_k(prio, S)  # (B, S)
-    valid = top > -(2**30)
+    relayout = lambda a: a.reshape(nby, th, nbx, tw).transpose(0, 2, 1, 3).reshape(B, th * tw)
+    mb = relayout(mpad)
+    vb = relayout(vpad)
+    if priority is None:
+        # Priority: valid lanes by ascending within-tile row-major index.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, th * tw), 1)
+        prio = jnp.where(mb, -lane, jnp.int32(-(2**30)))
+        top, idx = jax.lax.top_k(prio, S)  # (B, S)
+        valid = top > -(2**30)
+    else:
+        pb = relayout(jnp.pad(priority, ((0, Hp - H), (0, Wp - W))))
+        neg = jnp.float32(-3e38)
+        prio = jnp.where(mb, pb.astype(jnp.float32), neg)
+        top, idx = jax.lax.top_k(prio, S)  # (B, S)
+        valid = top > neg
     vals = jnp.take_along_axis(vb, idx, axis=1)
     dy = idx // tw
     dx = idx % tw
