@@ -12,9 +12,9 @@ frame-to-keyframe LM tracking, semi-dense stereo depth on keyframe
 promotion, production `fast_config` (sub-pixel warps, aligned pyramids,
 lazy depth, identity reset on promotion — strictly more accurate than the
 reference's quirk set; see config.py). Driven frame-by-frame through the
-cached jitted step (measured faster than the lax.scan chunk driver, whose
-nested control flow deoptimizes under scan on TPU). Accuracy is
-sanity-checked against exact synthetic ground truth.
+cached jitted step (a lax.scan chunk driver was measured slower on TPU —
+the step's nested control flow deoptimizes under scan — and was removed in
+round 4). Accuracy is sanity-checked against exact synthetic ground truth.
 """
 
 import json
@@ -60,7 +60,7 @@ def main():
     # (async dispatch keeps host and device overlapped, like production).
     from odometry_tpu.pipeline.runner import _compiled
 
-    jit_init, jit_step, _ = _compiled(cfg, False)
+    jit_init, jit_step = _compiled(cfg, False)
     state, ok = jit_init(*frames[0])
     for (l, r) in frames[1:4]:
         state, out = jit_step(state, l, r)

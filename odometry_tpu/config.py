@@ -118,6 +118,11 @@ class DepthConfig:
     block_rows: int = 16
     block_cols: int = 32
     max_points_per_block: int = 80
+    # Beyond-reference coverage floor: every block also contributes its top-k
+    # gradient pixels even when the adaptive median+grad_th threshold fires
+    # on nothing (weak-texture blocks; see kernels/select.py). 0 = exact
+    # reference selection.
+    min_points_per_block: int = 0
     min_valid_points: int = 500  # frame fails below this (depth_estimate.cpp:192)
     lambda_up: float = 10.0
     lambda_down: float = 10.0
@@ -262,7 +267,8 @@ def accurate_config() -> PipelineConfig:
     """
     return PipelineConfig(
         tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
-        depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True),
+        depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True,
+                          min_points_per_block=8),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0),
@@ -283,7 +289,8 @@ def fast_config() -> PipelineConfig:
         # accurate (the per-tile cap keeps the strongest-gradient matches).
         depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
                           range_limited_search=True, precision=0.99,
-                          max_residuals=16384, point_order="blocked"),
+                          max_residuals=16384, point_order="blocked",
+                          min_points_per_block=8),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0),

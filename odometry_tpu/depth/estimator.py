@@ -304,12 +304,17 @@ def compute_depth(
         block_cols=cfg.block_cols,
         grad_th=cfg.grad_th,
         max_points_per_block=cfg.max_points_per_block,
+        min_points_per_block=cfg.min_points_per_block,
     )
 
     max_disp = cfg.max_disparity
     min_disp = None
     if cfg.range_limited_search:
-        band_max = int(cam.fx * cam.baseline / cfg.min_depth) + 1
+        # Clamp to the image width: a min_depth band wider than the epipolar
+        # segment is full search (and must not select the banded kernel,
+        # whose VMEM slab scales with the band — a 0.1 m min_depth implies a
+        # 3861 px "band" at KITTI intrinsics).
+        band_max = min(int(cam.fx * cam.baseline / cfg.min_depth) + 1, cam.width)
         max_disp = band_max if max_disp is None else min(max_disp, band_max)
         min_disp = max(1, int(cam.fx * cam.baseline / cfg.max_depth))
     from odometry_tpu.kernels.disparity import disparity_winner_maps

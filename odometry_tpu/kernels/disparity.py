@@ -75,7 +75,9 @@ def disparity_search(
     first-minimum tie-breaking (strict `<` update at ``depth_estimate.cpp:385``
     == argmin's first-occurrence rule). `left`/`right` should be the blurred
     images. A finite `max_disparity` additionally bounds the scan (TPU
-    throughput config; None == exact reference behaviour).
+    throughput config; None == exact reference behaviour). `row_chunk` sizes
+    the XLA backend's per-chunk cost volume only; the Pallas kernels tile
+    internally and ignore it.
 
     lr_check=True (beyond-reference) additionally requires left->right and
     right->left winners to agree within `lr_tol` pixels — in this cost-matrix
@@ -127,7 +129,10 @@ def disparity_winner_maps(
 
     if backend == "auto":
         from odometry_tpu.utils.platform import on_tpu
-        from odometry_tpu.kernels.disparity_pallas import pallas_width_ok
+        from odometry_tpu.kernels.disparity_pallas import (
+            band_fits_vmem,
+            pallas_width_ok,
+        )
 
         # On-chip parity (tools/tpu_parity.py) passes for BOTH Pallas kernels
         # since the _split3 fix (hi must be bf16(x), not round(x), whose
@@ -135,20 +140,31 @@ def disparity_winner_maps(
         # path everywhere except SSD near-ties within the split's ~0.25
         # absolute error band, where 1-2 px per KITTI frame flip to an
         # equally-scoring candidate. auto therefore selects Pallas on TPU;
-        # banded when a disparity band is configured, full-search when the
-        # width fits the per-row cost-matrix VMEM budget.
-        banded = max_disparity is not None
+        # banded when a NARROW disparity band is configured (a wide band's
+        # slab planes blow scoped VMEM — band_fits_vmem), full-search when
+        # the width fits the per-row cost-matrix VMEM budget.
+        banded = max_disparity is not None and band_fits_vmem(max_disparity)
         backend = "pallas" if (on_tpu() and (banded or pallas_width_ok(W))) else "xla"
     if backend == "pallas" and max_disparity is not None:
-        # Banded fused kernel: compute only the [min_disparity, max_disparity]
-        # candidate band as MXU tiles along the diagonal — width-unlimited.
-        from odometry_tpu.kernels.disparity_pallas import disparity_band_pallas
-
-        return disparity_band_pallas(
-            PL, PR, ln, rn, boundary=boundary,
-            max_disparity=max_disparity, min_disparity=min_disparity,
-            lr=lr_check,
+        from odometry_tpu.kernels.disparity_pallas import (
+            band_fits_vmem,
+            disparity_band_pallas,
+            pallas_width_ok,
         )
+
+        if band_fits_vmem(max_disparity):
+            # Banded fused kernel: compute only the [min_disparity,
+            # max_disparity] candidate band as MXU tiles along the diagonal —
+            # width-unlimited.
+            return disparity_band_pallas(
+                PL, PR, ln, rn, boundary=boundary,
+                max_disparity=max_disparity, min_disparity=min_disparity,
+                lr=lr_check,
+            )
+        # Wide band: the full-search kernel applies the same band as a mask
+        # (when the width fits); otherwise fall through to the XLA path.
+        if not pallas_width_ok(W):
+            backend = "xla"
     if backend == "pallas":
         from odometry_tpu.kernels.disparity_pallas import (
             disparity_cost_argmin_pallas,

@@ -45,6 +45,20 @@ def pallas_width_ok(width: int) -> bool:
     return -(-width // 128) * 128 <= MAX_SUPPORTED_WIDTH
 
 
+# The banded kernel materializes several (R=16, 128, S=P+128) f32 planes in
+# VMEM (cross / ssd / index / reverse index): ~8 KB * S each. P=256 (the
+# production KITTI band, max_disparity 192) measures ~12.6 MB total and
+# compiles; P=512 was observed to exceed the 16 MB scoped-vmem budget on
+# v5e (20.1 MB for a huge band). Callers must route wider bands to the
+# full-search kernel or the XLA path.
+MAX_BAND_P = 256
+
+
+def band_fits_vmem(max_disparity: int) -> bool:
+    """True when the banded kernel's per-step slab planes fit scoped VMEM."""
+    return -(-max_disparity // 128) * 128 <= MAX_BAND_P
+
+
 def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
             *, R, Wp, boundary, max_disparity, min_disparity):
     xs = jax.lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)  # left pixel x

@@ -25,11 +25,22 @@ def select_points(
     block_cols: int = 32,
     grad_th: float = 8.0,
     max_points_per_block: int = 80,
+    min_points_per_block: int = 0,
 ) -> jax.Array:
     """Return a (H, W) bool mask of selected high-gradient pixels.
 
     `img` should already be 3x3-Gaussian-blurred (the reference blurs before
     selecting, ``depth_estimate.cpp:256``).
+
+    `min_points_per_block` (beyond-reference, default 0 = exact reference
+    semantics): on weak-texture blocks the reference's absolute `median +
+    grad_th` offset can select nothing at all — a featureless-road frame
+    collapses the whole frontend (measured: a low-frequency procedural scene
+    selects 412 of 466k pixels and odometry diverges from the resulting
+    clustered point set). With k > 0 every block additionally contributes its
+    top-k pixels by gradient magnitude (requiring gradient > 1.0 so truly
+    flat blocks stay empty) — the DSO pixel-selector's multi-threshold
+    fallback, vectorized as a per-block rank threshold.
     """
     H, W = img.shape
     bh = (H - 2 * boundary) // block_rows
@@ -56,6 +67,10 @@ def select_points(
     th = median + jnp.float32(grad_th)
 
     above = blocks > th[:, None]
+    if min_points_per_block > 0:
+        k = min(min_points_per_block, bh * bw)
+        kth = sorted_blocks[:, -k]  # k-th largest gradient per block
+        above = above | ((blocks >= kth[:, None]) & (blocks > 1.0))
     # Scan-order cap: keep only the first max_points_per_block hits per block.
     order = jnp.cumsum(above.astype(jnp.int32), axis=1)
     keep = above & (order <= max_points_per_block)

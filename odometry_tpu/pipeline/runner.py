@@ -36,14 +36,7 @@ def _compiled(cfg: PipelineConfig, with_pose0: bool):
     else:
         jit_init = jax.jit(lambda l, r: init(l, r, cfg, None))
     jit_step = jax.jit(lambda s, l, r: step(s, l, r, cfg))
-
-    def chunk_body(state, lr):
-        l, r = lr
-        new_state, out = step(state, l, r, cfg)
-        return new_state, (out.cur_pose, out.promoted, out.depth_ok)
-
-    jit_chunk = jax.jit(lambda s, lefts, rights: jax.lax.scan(chunk_body, s, (lefts, rights)))
-    return jit_init, jit_step, jit_chunk
+    return jit_init, jit_step
 
 
 @dataclasses.dataclass
@@ -94,7 +87,7 @@ def run_sequence(
     with timer.stage("io"):
         left0, right0 = next(it)
 
-    jit_init, jit_step, _ = _compiled(cfg, init_pose is not None)
+    jit_init, jit_step = _compiled(cfg, init_pose is not None)
     with timer.stage("init"):
         if init_pose is not None:
             state, ok0 = jit_init(
@@ -219,73 +212,3 @@ def _checkpoint_template(state):
         "lost_ids": _AnyShape(),
         "frame_id": _AnyShape(),
     }
-
-
-def run_sequence_scan(
-    frames,
-    cfg: PipelineConfig,
-    init_pose: np.ndarray | None = None,
-    chunk: int = 16,
-) -> RunResult:
-    """Throughput driver: process `chunk` frames per device call via lax.scan.
-
-    Identical math to :func:`run_sequence`; the scan amortizes per-call
-    dispatch latency and lets XLA pipeline across frames. Depth-failure
-    detection happens per chunk (the whole chunk is consumed). Frames are
-    staged on device as (chunk, H, W) stacks.
-    """
-    frames = list(frames)
-    if not frames:
-        raise ValueError("no frames")
-    jit_init, _jit_step, run_chunk = _compiled(cfg, init_pose is not None)
-    if init_pose is not None:
-        state, ok0 = jit_init(
-            jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), jnp.asarray(init_pose)
-        )
-    else:
-        state, ok0 = jit_init(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
-    if not bool(ok0):
-        raise RuntimeError("Init 0-th frame failed! (depth frontend)")
-
-    poses = [np.asarray(state.cur_pose)]
-    keyframe_ids = [0]
-    failed_at = None
-    t_start = time.perf_counter()
-    idx = 1
-    rest = frames[1:]
-    for c0 in range(0, len(rest), chunk):
-        batch = rest[c0 : c0 + chunk]
-        if len(batch) < chunk:
-            # Tail shorter than a chunk: run it frame-by-frame.
-            for (l, r) in batch:
-                state, out = _jit_step(state, jnp.asarray(l), jnp.asarray(r))
-                poses.append(np.asarray(out.cur_pose))
-                if bool(out.promoted):
-                    keyframe_ids.append(idx)
-                if not bool(out.depth_ok) and failed_at is None:
-                    failed_at = idx
-                idx += 1
-            break
-        lefts = jnp.stack([jnp.asarray(b[0]) for b in batch])
-        rights = jnp.stack([jnp.asarray(b[1]) for b in batch])
-        state, (chunk_poses, promoted, depth_ok) = run_chunk(state, lefts, rights)
-        chunk_poses = np.asarray(chunk_poses)
-        promoted = np.asarray(promoted)
-        depth_ok = np.asarray(depth_ok)
-        for k in range(chunk):
-            poses.append(chunk_poses[k])
-            if promoted[k]:
-                keyframe_ids.append(idx)
-            if not depth_ok[k] and failed_at is None:
-                failed_at = idx
-            idx += 1
-    total = time.perf_counter() - t_start
-    n = len(poses)
-    return RunResult(
-        poses=np.stack(poses),
-        keyframe_ids=keyframe_ids,
-        num_frames=n,
-        failed_at=failed_at,
-        fps=(n - 1) / total if n > 1 else 0.0,
-        per_frame_ms=[],
-    )

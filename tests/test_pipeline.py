@@ -134,17 +134,6 @@ def test_lazy_depth_matches_eager_trajectory(sequence):
     assert res_eager.keyframe_ids == res_lazy.keyframe_ids
 
 
-def test_scan_runner_matches_step_runner(sequence):
-    from odometry_tpu.pipeline.runner import run_sequence_scan
-
-    _, poses, frames = sequence
-    res_a = run_sequence(frames, CFG)
-    res_b = run_sequence_scan(frames, CFG, chunk=4)
-    assert res_b.num_frames == res_a.num_frames
-    assert np.allclose(res_a.poses, res_b.poses, atol=1e-5)
-    assert res_a.keyframe_ids == res_b.keyframe_ids
-
-
 def test_tracking_lost_recovery(sequence):
     """Corrupt a mid-sequence frame: the relocalize policy must flag it, hold
     the pose, keep running, and recover the trajectory afterwards (VERDICT
