@@ -40,6 +40,7 @@ class SlamResult:
     failed_at: Optional[int]
     ba_runs: int
     fps: float
+    loop_closures: int = 0
 
 
 def run_slam(
@@ -51,9 +52,20 @@ def run_slam(
     ba_every: int = 1,
     ba_cfg: BAConfig | None = None,
     init_pose: np.ndarray | None = None,
+    loop_closure: bool = False,
+    lc_cfg: "LoopClosureConfig | None" = None,
 ) -> SlamResult:
-    """Run odometry with map maintenance and in-loop window BA."""
+    """Run odometry with map maintenance, in-loop window BA, and (when
+    `loop_closure`) proximity-proposed, photometrically-verified loop
+    closures corrected through the pose graph (mapping/loop_closure.py)."""
     import time
+
+    from odometry_tpu.mapping.loop_closure import (
+        LoopClosureConfig,
+        close_loop,
+        propose_loop,
+        verify_loop,
+    )
 
     it = iter(frames)
     left0, right0 = next(it)
@@ -76,11 +88,16 @@ def run_slam(
 
     jit_insert = jax.jit(insert_keyframe)
     jit_ba = jax.jit(lambda p: ba_solve(p, cam, bacfg))
+    lc = lc_cfg or LoopClosureConfig()
+    jit_verify = jax.jit(
+        lambda s, ci, ni: verify_loop(s, ci, ni, cam, cfg.tracker, lc)
+    )
 
     poses = [np.asarray(state.cur_pose)]
     keyframe_ids = [0]
     failed_at = None
     ba_runs = 0
+    loop_closures = 0
     kf_since_ba = 0
     t0 = time.perf_counter()
     for frame_id, (left, right) in enumerate(it, start=1):
@@ -115,6 +132,17 @@ def run_slam(
                 state = dataclasses.replace(state, kf_pose=refined_kf_pose)
                 ba_runs += 1
                 kf_since_ba = 0
+            if loop_closure:
+                prop = propose_loop(store, lc)
+                if prop is not None:
+                    ci, ni = prop
+                    ver = jit_verify(store, ci, ni)
+                    if bool(ver.ok):
+                        store = close_loop(store, ci, ni, ver.T_rel, lc)
+                        newest_pose = store.pose[ni]
+                        state = dataclasses.replace(state, kf_pose=newest_pose)
+                        poses[-1] = np.asarray(newest_pose)
+                        loop_closures += 1
     total = time.perf_counter() - t0
     n = len(poses)
     return SlamResult(
@@ -125,4 +153,5 @@ def run_slam(
         failed_at=failed_at,
         ba_runs=ba_runs,
         fps=(n - 1) / total if n > 1 else 0.0,
+        loop_closures=loop_closures,
     )
