@@ -43,10 +43,17 @@ def cmd_run_kitti(args):
     from odometry_tpu.eval.metrics import mean_translation_error, ate_rmse, rpe
     from odometry_tpu.pipeline.runner import run_sequence
 
+    from odometry_tpu.config import adapt_to_camera
+
     cfg = _config(args.config)
     cam = kitti.load_calib(args.data, args.seq)
-    cfg = dataclasses.replace(cfg, camera=cam,
-                              depth_every_frame=not args.lazy_depth)
+    if args.kf_threshold is not None:
+        cfg = dataclasses.replace(
+            cfg, keyframe=dataclasses.replace(
+                cfg.keyframe, motion_threshold=args.kf_threshold))
+    cfg = adapt_to_camera(
+        dataclasses.replace(cfg, camera=cam,
+                            depth_every_frame=not args.lazy_depth))
     gt = None
     try:
         gt = kitti.load_poses(args.data, args.seq, args.frames)
@@ -152,7 +159,6 @@ def cmd_run_tum(args):
                          indexing=cfg.depth_decimation)
     kfl = prepare_keyframe(pyr, dpyr, cfg)
     solve = jax.jit(lambda k, p: solve_pose_points(k, p, cam, cfg))
-    prep = jax.jit(lambda g, d: None)
     poses = [np.eye(4, dtype=np.float32)]
     import time as _t
 
@@ -311,6 +317,9 @@ def main(argv=None):
     k.add_argument("--frames", type=int, default=130)
     k.add_argument("--config", default="parity", choices=["parity", "accurate", "fast"])
     k.add_argument("--lazy-depth", action="store_true")
+    k.add_argument("--kf-threshold", type=float, default=None,
+                   help="keyframe promotion motion threshold (reference "
+                        "hard-codes 1.1, run_odometry_kitti_offline.cpp:258)")
     k.add_argument("--out", default=None)
     k.add_argument("--dump-vis", action="store_true",
                    help="write per-keyframe gray/disparity/mask PNGs (save_to_vis)")

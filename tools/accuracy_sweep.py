@@ -1,0 +1,135 @@
+"""Multi-seed / multi-scene accuracy sweep backing the preset tuning.
+
+The bench gate (bench.py: mte < 0.15 on one plane trajectory) is one
+trajectory wide; this harness measures the fast/accurate presets over
+SEEDS trajectory seeds x two scene families (the bench's plane scene and
+the parity tests' driving geometry) at full KITTI size, reports
+median/min/max, and exits nonzero if any config's MEDIAN is not green with
+margin. Results table is written to ACCURACY.md.
+
+Run on the TPU chip:  python tools/accuracy_sweep.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+SEEDS = [3, 4, 5, 11, 23]
+GATE = 0.15
+MARGIN = 0.30  # require median <= GATE * (1 - MARGIN)
+
+
+def run():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from odometry_tpu.camera import Pinhole
+    from odometry_tpu.config import accurate_config, fast_config
+    from odometry_tpu.data.synthetic import (
+        drive_trajectory,
+        make_driving_scene,
+        make_scene,
+        render_stereo,
+    )
+    from odometry_tpu.eval.metrics import mean_translation_error
+    from odometry_tpu.pipeline.runner import run_sequence
+
+    num_frames = 49
+    rows = []
+    for cfg_name, cfg_fn in (("fast", fast_config), ("accurate", accurate_config)):
+        cfg = cfg_fn()
+        H, W = cfg.camera.height, cfg.camera.width
+        cam = Pinhole.create(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy)
+        render = jax.jit(
+            lambda scene, T: render_stereo(scene, cam, cfg.camera.baseline, T, H, W)
+        )
+        for scene_name, scene_fn, step in (
+            ("plane", lambda s: make_scene(s, depth=14.0), 0.35),
+            ("driving", make_driving_scene, 0.35),
+        ):
+            mtes = []
+            for seed in SEEDS:
+                scene = scene_fn(seed)
+                poses = drive_trajectory(num_frames, step=step, seed=seed)
+                frames = []
+                for T in poses:
+                    l, r, _ = render(scene, jnp.asarray(T))
+                    frames.append((l, r))
+                t0 = time.perf_counter()
+                try:
+                    res = run_sequence(frames, cfg)
+                except RuntimeError as e:  # init-frame depth failure
+                    print(f"{cfg_name:9s} {scene_name:8s} seed {seed:3d}: {e}",
+                          flush=True)
+                    mtes.append(float("inf"))
+                    continue
+                dt = time.perf_counter() - t0
+                if res.failed_at is not None:
+                    mte = float("inf")
+                else:
+                    mte = float(mean_translation_error(poses[: res.num_frames], res.poses))
+                mtes.append(mte)
+                print(
+                    f"{cfg_name:9s} {scene_name:8s} seed {seed:3d}: mte {mte:8.4f} "
+                    f"kf {len(res.keyframe_ids):2d} lost {len(res.lost_ids)} "
+                    f"({dt:.1f}s)",
+                    flush=True,
+                )
+            mtes = np.asarray(mtes)
+            rows.append(
+                dict(
+                    config=cfg_name,
+                    scene=scene_name,
+                    median=float(np.median(mtes)),
+                    min=float(mtes.min()),
+                    max=float(mtes.max()),
+                    n_green=int((mtes < GATE).sum()),
+                    n=len(mtes),
+                )
+            )
+
+    lines = [
+        "# ACCURACY — multi-seed preset sweep",
+        "",
+        f"{len(SEEDS)} trajectory seeds x 2 scene families x 2 presets, full KITTI",
+        f"size (376x1241), 49 frames each, `tools/accuracy_sweep.py`. Gate: mte <",
+        f"{GATE} (bench.py), margin requirement: median <= {GATE * (1 - MARGIN):.3f}.",
+        "",
+        "| config | scene | median mte | min | max | green |",
+        "|---|---|---|---|---|---|",
+    ]
+    ok = True
+    for r in rows:
+        lines.append(
+            f"| {r['config']} | {r['scene']} | {r['median']:.4f} | {r['min']:.4f} "
+            f"| {r['max']:.4f} | {r['n_green']}/{r['n']} |"
+        )
+        if r["median"] > GATE * (1 - MARGIN):
+            ok = False
+    backend = None
+    try:
+        import jax
+
+        backend = jax.devices()[0].platform
+    except Exception:
+        pass
+    lines += ["", f"Measured on: {backend}. Seeds: {SEEDS}.", ""]
+    out = "\n".join(lines)
+    print(out)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "ACCURACY.md"), "w") as f:
+        f.write(out)
+    if not ok:
+        print("FAIL: a preset median is outside the margin", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())
