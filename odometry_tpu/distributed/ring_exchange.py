@@ -4,10 +4,21 @@ The collectives-based distribution layer (sweep.py / ba_dist.py) covers the
 production paths; this module provides the ICI-native alternative the survey
 sketched: each device holds a shard of keyframe state (poses, point blocks),
 and a **ring all-gather written as a Pallas kernel** moves neighbor shards
-chip-to-chip with ``pltpu.make_async_remote_copy`` — double-buffered so step
-k's send overlaps step k-1's consume, the classic ring schedule that rides
-each ICI link at full bandwidth instead of bouncing through XLA's generic
-all-gather.
+chip-to-chip with ``pltpu.make_async_remote_copy``, riding each ICI link
+directly instead of bouncing through XLA's generic all-gather.
+
+The communication buffer uses one slot per ring step (num_devices slots)
+rather than the usual double buffer: with two alternating slots, a fast
+device can start overwriting its right neighbor's slot for step k+1 while
+the neighbor has not yet finished SENDING from that same slot at step k —
+nothing in the send/recv semaphore pairs synchronizes a sender with its
+*receiver's* progress (measured: the double-buffered version corrupts
+~1 in 3 runs under the interpret machinery's random interleavings). With a
+slot per step every remote write targets a location that is written exactly
+once and read only after its own recv semaphore, so no write-after-read
+hazard exists at the cost of (num_devices x chunk) VMEM — fine for keyframe
+blocks. (A production double-buffer would add a reverse "slot free"
+semaphore signal from receiver to sender.)
 
 On CPU (tests, the driver's virtual mesh) the kernel runs under the Pallas
 TPU **interpret machinery** (`pltpu.InterpretParams`), which simulates the
@@ -33,47 +44,43 @@ from jax.experimental.pallas import tpu as pltpu
 from odometry_tpu.utils.platform import on_tpu
 
 
-def _ring_kernel(local_ref, out_ref, comm_ref, send_sem, recv_sem, *, axis, chunk):
-    num = jax.lax.axis_size(axis)
+def _ring_kernel(local_ref, out_ref, comm_ref, send_sem, recv_sem, *, axis,
+                 chunk, num):
     me = jax.lax.axis_index(axis)
-    # Own shard lands at its global slot; comm buffer seeds the ring.
+    # Own shard lands at its global slot; comm slot 0 seeds the ring.
     out_ref[pl.ds(me * chunk, chunk), :] = local_ref[...]
     comm_ref[0] = local_ref[...]
+    dst = jax.lax.rem(me + 1, num)
 
-    def body(step, _):
-        send_slot = jax.lax.rem(step, 2)
-        recv_slot = jax.lax.rem(step + 1, 2)
-        dst = jax.lax.rem(me + 1, num)
+    for step in range(num - 1):  # num is static; unrolled
         rdma = pltpu.make_async_remote_copy(
-            src_ref=comm_ref.at[send_slot],
-            dst_ref=comm_ref.at[recv_slot],
-            send_sem=send_sem.at[send_slot],
-            recv_sem=recv_sem.at[recv_slot],
+            src_ref=comm_ref.at[step],
+            dst_ref=comm_ref.at[step + 1],
+            send_sem=send_sem.at[step],
+            recv_sem=recv_sem.at[step],
             device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         rdma.start()
         rdma.wait()
-        # After k+1 hops the chunk that arrives originated k+1 devices back.
+        # After step+1 hops the chunk that arrives originated step+1 back.
         src_dev = jax.lax.rem(me - step - 1 + num, num)
-        out_ref[pl.ds(src_dev * chunk, chunk), :] = comm_ref[recv_slot]
-        return ()
-
-    jax.lax.fori_loop(0, num - 1, body, ())
+        out_ref[pl.ds(src_dev * chunk, chunk), :] = comm_ref[step + 1]
 
 
 def _ring_all_gather_padded(x, *, axis, num_devices, collective_id):
     chunk, D = x.shape
-    kernel = functools.partial(_ring_kernel, axis=axis, chunk=chunk)
+    kernel = functools.partial(_ring_kernel, axis=axis, chunk=chunk,
+                               num=num_devices)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((num_devices * chunk, D), x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, D), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((num_devices, chunk, D), x.dtype),
+            pltpu.SemaphoreType.DMA((num_devices,)),
+            pltpu.SemaphoreType.DMA((num_devices,)),
         ],
         interpret=None if on_tpu() else pltpu.InterpretParams(),
         compiler_params=pltpu.CompilerParams(collective_id=collective_id),
