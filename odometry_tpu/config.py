@@ -189,6 +189,13 @@ class KeyframeConfig:
     # criterion.
     lost_cost_threshold: float = 0.0
     lost_motion_threshold: float = 0.0
+    # Consecutive lost frames before relocalize re-seeds the keyframe from
+    # the current frame. 1 = re-seed immediately. A single bad solve is
+    # often a transient (bad warm start / aliased minimum); since tracking
+    # is frame-to-KEYFRAME, the next frame can still solve against the old
+    # keyframe from the held-pose warm start — re-seeding immediately bakes
+    # the held pose's error into the new keyframe's absolute pose forever.
+    relocalize_patience: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,7 +278,8 @@ def accurate_config() -> PipelineConfig:
                           min_points_per_block=8),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
-                                lost_motion_threshold=4.0),
+                                lost_motion_threshold=4.0,
+                                relocalize_patience=2),
     )
 
 
@@ -280,19 +288,33 @@ def fast_config() -> PipelineConfig:
     lazy depth. Accuracy stays at accurate_config level (sub-pixel warps
     converge in few iterations; the step tolerance only cuts the tail)."""
     return PipelineConfig(
+        # Capacity caps sit at the measured accuracy-vs-throughput knee
+        # (tools/capacity_knee.py, bench workload): point_capacity
+        # {2048: 0.068/324 fps, 4096: 0.064/365, 8192: 0.081/337,
+        # 16384: 0.093/290} — the quality-ranked blocked extraction means
+        # tighter caps keep only the strongest points, so 4096 wins BOTH
+        # axes with a >2x margin to the gate.
         tracker=TrackerConfig(interp="mm", depth_decimation="even",
-                              step_tol=1e-5, point_capacity=8192,
+                              step_tol=1e-5, point_capacity=4096,
                               point_order="blocked"),
         # Depth-side "blocked" is quality-ranked + SSD-threshold-aware
-        # (kernels/points.py priority path): measured 320.6 fps / mte 0.101
-        # vs spread's 291.6 fps / 0.142 on the bench scene — faster AND more
-        # accurate (the per-tile cap keeps the strongest-gradient matches).
-        depth=DepthConfig(max_disparity=192, interp="mm", lr_check=True,
+        # (kernels/points.py priority path): the per-tile cap keeps the
+        # strongest-gradient matches, so it beats "spread" on BOTH axes.
+        # max_residuals knee: {8192: 0.060/360 fps, 16384: 0.081/311,
+        # 32768: 0.113/302}.
+        # Refinement interp is "bilinear", not "mm": the stereo refinement
+        # warp is ROW-LOCAL (one row per lane), so the matmul sampler's
+        # full-image contraction is wasteful AND its bf16 quantization
+        # measurably corrupts the depth map on weak-texture scenes (bisect:
+        # driving-scene seed 4 diverges at mte 2.86 with "mm", tracks at
+        # 0.101 with "bilinear"; bench cost is 402 -> 353 fps, still >10x).
+        depth=DepthConfig(max_disparity=192, interp="bilinear", lr_check=True,
                           range_limited_search=True, precision=0.99,
-                          max_residuals=16384, point_order="blocked",
+                          max_residuals=8192, point_order="blocked",
                           min_points_per_block=8),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
-                                lost_motion_threshold=4.0),
+                                lost_motion_threshold=4.0,
+                                relocalize_patience=2),
         depth_every_frame=False,
     )

@@ -66,6 +66,7 @@ class OdometryState:
     frame_id: jax.Array  # int32
     kf_count: jax.Array  # int32 number of keyframes so far
     healthy: jax.Array  # bool: last depth frame succeeded
+    lost_streak: jax.Array  # int32 consecutive lost frames (relocalize)
 
 
 class StepOutput(NamedTuple):
@@ -124,6 +125,7 @@ def init(
         frame_id=jnp.asarray(0, jnp.int32),
         kf_count=jnp.asarray(1, jnp.int32),
         healthy=dres.ok,
+        lost_streak=jnp.asarray(0, jnp.int32),
     )
     return state, dres.ok
 
@@ -167,11 +169,15 @@ def step(
         lost = lost | (track.stats[-1].err_final > kcfg.lost_cost_threshold)
     if kcfg.lost_motion_threshold > 0:
         lost = lost | (motion_mag > kcfg.lost_motion_threshold)
+    streak = jnp.where(lost, state.lost_streak + 1, 0)
     if kcfg.relocalize:
         # Hold the previous absolute pose instead of chaining a garbage
-        # estimate, and nominate this frame for keyframe re-seeding.
+        # estimate. Re-seed the keyframe from this frame only after
+        # `relocalize_patience` consecutive losses: a transient bad solve
+        # gets retried against the OLD keyframe from the held-pose start
+        # first (see KeyframeConfig.relocalize_patience).
         cur_pose = jnp.where(lost, state.cur_pose, cur_pose)
-        candidate = candidate | lost
+        candidate = candidate | (lost & (streak >= kcfg.relocalize_patience))
 
     def depth_products(_):
         dres = compute_depth(left, right, cfg.camera, cfg.depth)
@@ -245,6 +251,7 @@ def step(
         frame_id=state.frame_id + 1,
         kf_count=state.kf_count + promote.astype(jnp.int32),
         healthy=dres.ok,
+        lost_streak=streak,
     )
     out = StepOutput(
         cur_pose=cur_pose,

@@ -49,9 +49,16 @@ def run():
         render = jax.jit(
             lambda scene, T: render_stereo(scene, cam, cfg.camera.baseline, T, H, W)
         )
+        # Trajectories are lateral-dominant (drive_trajectory): 49 frames x
+        # step meters of sideways travel. Steps are chosen to keep the camera
+        # inside each scene's textured envelope (the plane's blob field spans
+        # ~+-1.5*depth laterally; the driving corridor's side walls sit at
+        # +-side_x) — a sweep that drives out of the world measures the
+        # fixture, not the presets.
         for scene_name, scene_fn, step in (
-            ("plane", lambda s: make_scene(s, depth=14.0), 0.35),
-            ("driving", make_driving_scene, 0.35),
+            ("plane", lambda s: make_scene(s, depth=14.0), 0.25),
+            ("driving", lambda s: make_driving_scene(s, side_x=20.0, wall_z=26.0),
+             0.25),
         ):
             mtes = []
             for seed in SEEDS:
