@@ -140,6 +140,34 @@ class DepthConfig:
     # (nearly free in the cost-matrix formulation; kills accidental matches).
     lr_check: bool = False
     lr_tol: int = 1
+    # Beyond-reference: Lowe-style uniqueness (ratio) test. Accept a winner
+    # only when best_ssd <= ratio_test * second_best_ssd, where second-best
+    # is taken outside a +-ratio_excl px exclusion window around the winner.
+    # Kills ambiguous matches on (quasi-)periodic texture that pass BOTH the
+    # SSD threshold and the lr check (measured on the synthetic sweep: 12-20%
+    # of "valid" points carried >1 px disparity error, p99 in the hundreds of
+    # px, displacing the tracker's photometric minimum ~0.1 m per frame).
+    # 0 = off (reference parity).
+    ratio_test: float = 0.0
+    ratio_excl: int = 2
+    # Beyond-reference: blockwise disparity consistency. Reject matches whose
+    # disparity deviates from their selection-grid block's median matched
+    # disparity by more than this many px (semi-dense depth is locally smooth
+    # at the ~23x39 px block scale). 0 = off.
+    block_consistency_tol: float = 0.0
+    # True = reference parity: selected pixels whose SSD search failed still
+    # enter refinement with inverse depth 0 (depth_estimate.cpp:388-395 with
+    # the driver's zero-initialised left_dep). Because the per-pixel LM step
+    # is delta ~ -r/(g(1+lambda)), weak-gradient lanes jump tens of px along
+    # the epipolar line from that bogus start and land wherever the residual
+    # is small — measured: such lanes are the bulk of a 12-29% >1px-error
+    # fraction in the final "valid" depth. False drops unmatched lanes.
+    refine_unmatched: bool = True
+    # Beyond-reference: cap on |refined - search| disparity drift (px) for
+    # matched lanes. Refinement is sub-pixel polish of an integer search
+    # winner; a lane that wanders further found a *different* (usually
+    # aliased) photometric minimum. 0 = off.
+    refine_max_shift: float = 0.0
     # Beyond-reference: restrict the search to the disparity band implied by
     # [min_depth, max_depth] instead of only culling by range after refinement
     # (depth_estimate.cpp:183) — same effect, applied where it also prevents
@@ -275,7 +303,9 @@ def accurate_config() -> PipelineConfig:
     return PipelineConfig(
         tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
         depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True,
-                          min_points_per_block=8),
+                          min_points_per_block=8,
+                          refine_unmatched=False, refine_max_shift=1.5,
+                          block_consistency_tol=4.0),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0,
@@ -311,7 +341,15 @@ def fast_config() -> PipelineConfig:
         depth=DepthConfig(max_disparity=192, interp="bilinear", lr_check=True,
                           range_limited_search=True, precision=0.99,
                           max_residuals=8192, point_order="blocked",
-                          min_points_per_block=8),
+                          min_points_per_block=8,
+                          # Outlier gates (round 5): drop unmatched lanes,
+                          # cap refinement drift, block-median consistency —
+                          # measured to cut the >1px-error fraction of valid
+                          # depth from ~17% to ~2% on weak-texture scenes
+                          # (tools/diag_depth_filters.py), which was the
+                          # multi-seed divergence mechanism (ACCURACY.md).
+                          refine_unmatched=False, refine_max_shift=1.5,
+                          block_consistency_tol=4.0),
         keyframe=KeyframeConfig(reset_on_promote=True, relocalize=True,
                                 lost_cost_threshold=1000.0,
                                 lost_motion_threshold=4.0,

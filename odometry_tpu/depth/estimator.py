@@ -319,7 +319,7 @@ def compute_depth(
         min_disp = max(1, int(cam.fx * cam.baseline / cfg.max_depth))
     from odometry_tpu.kernels.disparity import disparity_winner_maps
 
-    best, match, rmatch = disparity_winner_maps(
+    best, match, rmatch, second = disparity_winner_maps(
         left_s,
         right_s,
         boundary=cfg.boundary,
@@ -327,7 +327,31 @@ def compute_depth(
         min_disparity=min_disp,
         lr_check=cfg.lr_check,
         backend=cfg.search_backend,
+        second_best=cfg.ratio_test > 0,
+        second_excl=cfg.ratio_excl,
     )
+
+    # Dense outlier gates (beyond-reference; see DepthConfig.ratio_test /
+    # block_consistency_tol). Both feed the blocked extraction mask so no
+    # lane capacity is wasted on matches the finalize would cull, and both
+    # are re-applied at lane level for the row/spread orders.
+    H, W = left.shape
+    xs_g = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    extra_ok = jnp.ones((H, W), bool)
+    if cfg.ratio_test > 0:
+        extra_ok = best <= cfg.ratio_test * second
+    med = None
+    if cfg.block_consistency_tol > 0:
+        from odometry_tpu.kernels.select import block_median_map
+
+        cand = sel & (best <= cfg.ssd_th) & extra_ok
+        disp_cand = (xs_g - match).astype(jnp.float32)
+        med = block_median_map(
+            disp_cand, cand, boundary=cfg.boundary,
+            block_rows=cfg.block_rows, block_cols=cfg.block_cols,
+        )
+        near_med = jnp.abs(disp_cand - med) <= cfg.block_consistency_tol
+        extra_ok = extra_ok & (~jnp.isfinite(med) | near_med)
 
     # The reference keeps val=1 for selected pixels whose SSD failed; they
     # enter refinement with inverse depth 0 (depth_estimate.cpp:388-395 with
@@ -350,7 +374,7 @@ def compute_depth(
 
         gx, gy = central_gradients(left_s)
         grad = jnp.sqrt(gx * gx + gy * gy)
-        pts = extract_points(best, sel & (best <= cfg.ssd_th), cap,
+        pts = extract_points(best, sel & (best <= cfg.ssd_th) & extra_ok, cap,
                              order="blocked", priority=grad)
     else:
         pts = extract_points(best, sel, cap, order=cfg.point_order)
@@ -359,7 +383,6 @@ def compute_depth(
     # depth), the _finalize semantics applied to <=cap lanes instead of the
     # full image: the lr-check's take_along_axis over a dense (H, W) map
     # costs ~4.5 ms at KITTI size on TPU; these lane gathers are ~us.
-    H, W = left.shape
     ys_l = pts.ys.astype(jnp.int32)
     xs_l = pts.xs.astype(jnp.int32)
     best_l = pts.inv_depth  # extract carried the best-SSD values
@@ -373,12 +396,18 @@ def compute_depth(
         (ys_l >= b) & (ys_l < H - b) & (xs_l >= b) & (xs_l < W - b)
     )
     matched_l = pts.valid & in_border & (best_l <= cfg.ssd_th)
+    if cfg.ratio_test > 0 or cfg.block_consistency_tol > 0:
+        extra_l = clip_gather_2d(extra_ok.astype(jnp.float32), ys_l, xs_l)
+        matched_l = matched_l & (extra_l > 0.5)
     if cfg.lr_check:
         back_l = clip_gather_2d(rmatch, ys_l, m_l)
         matched_l = matched_l & (jnp.abs(back_l - xs_l) <= cfg.lr_tol)
     disp_l = jnp.where(matched_l, (xs_l - m_l).astype(jnp.float32), 0.0)
     inv0_l = disp_l / jnp.float32(cam.fx * cam.baseline)
     pts = pts._replace(inv_depth=inv0_l)
+    if not cfg.refine_unmatched:
+        # Only search-confirmed lanes refine (see DepthConfig.refine_unmatched).
+        pts = pts._replace(valid=pts.valid & matched_l)
     refined, resid, iters, cost = refine_depth_points(left, right, pts, cam, cfg)
 
     # Writeback + filtering (depth_estimate.cpp:176-197), per point lane.
@@ -387,6 +416,11 @@ def compute_depth(
     depth = 1.0 / safe
     range_bad = (depth > cfg.max_depth) | (depth < cfg.min_depth)
     valid_pt = pts.valid & ~photo_bad & ~range_bad
+    if cfg.refine_max_shift > 0:
+        # Matched lanes must stay near their integer search winner; a larger
+        # drift means refinement crossed into a different photometric basin.
+        drift = jnp.abs(refined * jnp.float32(cam.fx * cam.baseline) - disp_l)
+        valid_pt = valid_pt & (~matched_l | (drift <= cfg.refine_max_shift))
     vals = jnp.where(valid_pt, refined, 0.0)
 
     # Scatter back to dense maps. Padded lanes carry in-border or clipped

@@ -91,7 +91,7 @@ def disparity_search(
     costs ~4.5 ms at KITTI size on TPU, vs microseconds on the <=16k
     extracted lanes.
     """
-    best, match, rmatch = disparity_winner_maps(
+    best, match, rmatch, _ = disparity_winner_maps(
         left, right,
         boundary=boundary, max_disparity=max_disparity,
         min_disparity=min_disparity, row_chunk=row_chunk,
@@ -114,12 +114,17 @@ def disparity_winner_maps(
     row_chunk: int = 8,
     lr_check: bool = False,
     backend: str = "auto",
+    second_best: bool = False,
+    second_excl: int = 2,
 ):
-    """(best, match, rmatch) dense winner maps, backend-dispatched.
+    """(best, match, rmatch, second) dense winner maps, backend-dispatched.
 
     best[y, x] = best SSD for left pixel x; match[y, x] = its right-image
     column; rmatch[y, xr] = best left column for right pixel xr (zeros when
-    lr_check=False). Thresholding/assembly left to the caller.
+    lr_check=False); second[y, x] = best SSD outside a +-2 px exclusion
+    window around the winner (1e10 fill when `second_best` is False or no
+    other candidate exists) for the uniqueness/ratio test. Thresholding and
+    assembly are left to the caller.
     """
     H, W = left.shape
     PL = pattern_stack(left)  # (8, H, W)
@@ -159,7 +164,7 @@ def disparity_winner_maps(
             return disparity_band_pallas(
                 PL, PR, ln, rn, boundary=boundary,
                 max_disparity=max_disparity, min_disparity=min_disparity,
-                lr=lr_check,
+                lr=lr_check, second_best=second_best, second_excl=second_excl,
             )
         # Wide band: the full-search kernel applies the same band as a mask
         # (when the width fits); otherwise fall through to the XLA path.
@@ -180,6 +185,7 @@ def disparity_winner_maps(
         return disparity_cost_argmin_pallas(
             PL, PR, ln, rn, boundary=boundary,
             max_disparity=max_disparity, min_disparity=min_disparity,
+            second_best=second_best, second_excl=second_excl,
         )
 
     xs = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)  # left pixel x
@@ -209,17 +215,27 @@ def disparity_winner_maps(
             rmatch = jnp.argmin(ssd, axis=1).astype(jnp.int32)
         else:
             rmatch = jnp.zeros_like(match)
-        return best, match, rmatch
+        if second_best:
+            # Runner-up outside the +-second_excl exclusion window around
+            # the winner (the ratio/uniqueness test numerator's rival).
+            near = jnp.abs(xr[None] - match[:, :, None]) <= second_excl
+            second = jnp.min(jnp.where(near, jnp.float32(1e10), ssd), axis=2)
+        else:
+            second = jnp.full_like(best, 1e10)
+        return best, match, rmatch, second
 
     pl_c = PLp.reshape(8, nchunks, row_chunk, W).transpose(1, 0, 2, 3)
     pr_c = PRp.reshape(8, nchunks, row_chunk, W).transpose(1, 0, 2, 3)
     ln_c = lnp.reshape(nchunks, row_chunk, W)
     rn_c = rnp.reshape(nchunks, row_chunk, W)
-    best, match, rmatch = jax.lax.map(score_chunk, (pl_c, pr_c, ln_c, rn_c))
+    best, match, rmatch, second = jax.lax.map(
+        score_chunk, (pl_c, pr_c, ln_c, rn_c)
+    )
     best = best.reshape(-1, W)[:H]
     match = match.reshape(-1, W)[:H]
     rmatch = rmatch.reshape(-1, W)[:H]
-    return best, match, rmatch
+    second = second.reshape(-1, W)[:H]
+    return best, match, rmatch, second
 
 
 def _finalize(

@@ -60,7 +60,8 @@ def band_fits_vmem(max_disparity: int) -> bool:
 
 
 def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
-            *, R, Wp, boundary, max_disparity, min_disparity):
+            second_ref, *, R, Wp, boundary, max_disparity, min_disparity,
+            with_second=False, second_excl=2):
     xs = jax.lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)  # left pixel x
     xr = jax.lax.broadcasted_iota(jnp.int32, (Wp, Wp), 1)  # right candidate
     ok = (xr >= boundary) & (xr < xs)
@@ -86,6 +87,13 @@ def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
         match = jnp.min(idx, axis=1).astype(jnp.int32)
         best_ref[r, 0, :] = best
         match_ref[r, 0, :] = match
+        if with_second:
+            near = jnp.abs(xr - match[:, None]) <= second_excl
+            second_ref[r, 0, :] = jnp.min(
+                jnp.where(near, jnp.float32(_BIG), ssd), axis=1
+            )
+        else:
+            second_ref[r, 0, :] = jnp.full((Wp,), jnp.float32(_BIG))
 
         # Reverse (right -> left) winners for the left-right check: smallest
         # x attaining the per-column minimum (matches argmin tie-breaking).
@@ -94,7 +102,7 @@ def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
         rmatch_ref[r, 0, :] = jnp.min(ridx, axis=0).astype(jnp.int32)
 
 
-def _band_kernel(*refs, R, NT, P, with_rev):
+def _band_kernel(*refs, R, NT, P, with_rev, with_second=False, second_excl=2):
     """Banded SSD + first-minimum winners for one (R rows, 128 query px) step.
 
     One fused pass produces BOTH directions of the left-right check:
@@ -142,8 +150,14 @@ def _band_kernel(*refs, R, NT, P, with_rev):
     best = jnp.min(ssd, axis=2)  # (R, 128)
     j = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 2)
     idx = jnp.where(ssd == best[:, :, None], j, jnp.int32(2**30))
-    match_ref[...] = jnp.min(idx, axis=2).astype(jnp.int32)
+    match = jnp.min(idx, axis=2).astype(jnp.int32)
+    match_ref[...] = match
     best_ref[...] = best
+    if with_second:
+        # Runner-up outside +-second_excl of the winner (uniqueness test).
+        sec_ref = out_refs[2 + 2 * int(with_rev)]
+        near = jnp.abs(j - match[:, :, None]) <= second_excl
+        sec_ref[...] = jnp.min(jnp.where(near, jnp.float32(_BIG), ssd), axis=2)
     if with_rev:
         rbest_ref, ridx_ref = out_refs[2], out_refs[3]
         rbest = jnp.min(ssd, axis=1)  # (R, S): per-candidate best over queries
@@ -186,7 +200,7 @@ def _split_stacks(Q: jax.Array, C: jax.Array):
 
 
 def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
-               with_rev, R=16):
+               with_rev, with_second=False, second_excl=2, R=16):
     """Single fused pass of the banded search. Q/C: (K, H, W) bf16 split
     K-stacks (from :func:`_split_stacks`) of the left/right images; qn/cn the
     f32 squared pattern norms. Returns (best, match[, rmatch]) as (H, W):
@@ -223,7 +237,8 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
     )
 
     grid = (Hp // R, Wp // 128)
-    kernel = functools.partial(_band_kernel, R=R, NT=NT, P=P, with_rev=with_rev)
+    kernel = functools.partial(_band_kernel, R=R, NT=NT, P=P, with_rev=with_rev,
+                               with_second=with_second, second_excl=second_excl)
     cmaps = [lambda r, t, k=k: (r, 0, t + k) for k in range(NT)]
     out_specs = [
         pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM),
@@ -242,6 +257,11 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
             jax.ShapeDtypeStruct((Hp, NT, Wp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, NT, Wp), jnp.int32),
         ]
+    if with_second:
+        out_specs.append(
+            pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((Hp, Wp), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -257,12 +277,13 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
         interpret=pallas_interpret(),
     )(Qp, *([Cp] * NT), qnp, *([cnp] * NT), bm)
     best, match_j = outs[0], outs[1]
+    second = outs[-1][:H, :W] if with_second else None
     # Forward winner: slab column j at query column x maps to
     # xr = 128*(x//128) - P + j.
     xcol = jnp.arange(Wp)[None, :]
     match = (xcol // 128) * 128 - P + match_j
     if not with_rev:
-        return best[:H, :W], match[:H, :W], None
+        return best[:H, :W], match[:H, :W], None, second
 
     # Reverse combine. Step (r, t)'s partial k covers candidate tile
     # (t - (NT-1) + k), stored at [row, k, 128t + jj]; so for candidate
@@ -292,7 +313,7 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
         take = (bk < rbest) & (bk < jnp.float32(_BIG * 0.5))
         rbest = jnp.where(take, bk, rbest)
         rmatch = jnp.where(take, xs_k, rmatch)
-    return best[:H, :W], match[:H, :W], rmatch[:H, :W]
+    return best[:H, :W], match[:H, :W], rmatch[:H, :W], second
 
 
 def disparity_band_pallas(
@@ -305,23 +326,29 @@ def disparity_band_pallas(
     max_disparity: int,
     min_disparity: int | None,
     lr: bool,
+    second_best: bool = False,
+    second_excl: int = 2,
 ):
     """Banded search: only candidates within [min_disparity, max_disparity]
     are scored, as (128 query, P+128 candidate) MXU tiles along the band —
     ~5x less compute and VMEM-independent of the image width (no
-    MAX_SUPPORTED_WIDTH limit). Returns (best, match, rmatch); rmatch is
-    zeros when lr=False (one full reverse pass is only paid when the
-    left-right check asked for it)."""
+    MAX_SUPPORTED_WIDTH limit). Returns (best, match, rmatch, second);
+    rmatch is zeros when lr=False (one full reverse pass is only paid when
+    the left-right check asked for it); second is the runner-up SSD outside
+    +-second_excl of the winner (1e10 fill when second_best=False)."""
     min_d = 1 if min_disparity is None else max(1, min_disparity)
     P = -(-max_disparity // 128) * 128
     qf, cf = _split_stacks(PL, PR)
-    best, match, rmatch = _band_pass(
+    best, match, rmatch, second = _band_pass(
         qf, cf, ln, rn, P=P, boundary=boundary,
         max_disparity=max_disparity, min_disparity=min_d, with_rev=lr,
+        with_second=second_best, second_excl=second_excl,
     )
     if rmatch is None:
         rmatch = jnp.zeros_like(match)
-    return best, match, rmatch
+    if second is None:
+        second = jnp.full_like(best, _BIG)
+    return best, match, rmatch, second
 
 
 def disparity_cost_argmin_pallas(
@@ -333,8 +360,10 @@ def disparity_cost_argmin_pallas(
     boundary: int,
     max_disparity: int | None,
     min_disparity: int | None,
+    second_best: bool = False,
+    second_excl: int = 2,
 ):
-    """Return (best, match, rmatch), each (H, W) — XLA-path contract."""
+    """Return (best, match, rmatch, second), each (H, W) — XLA-path contract."""
     _, H, W = PL.shape
     if not pallas_width_ok(W):
         raise ValueError(
@@ -358,8 +387,9 @@ def disparity_cost_argmin_pallas(
     kernel = functools.partial(
         _kernel, R=R, Wp=Wp, boundary=boundary,
         max_disparity=max_disparity, min_disparity=min_disparity,
+        with_second=second_best, second_excl=second_excl,
     )
-    best, match, rmatch = pl.pallas_call(
+    best, match, rmatch, second = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -372,12 +402,14 @@ def disparity_cost_argmin_pallas(
             pl.BlockSpec((R, 1, Wp), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1, Wp), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1, Wp), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1, Wp), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Hp, 1, Wp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, 1, Wp), jnp.int32),
             jax.ShapeDtypeStruct((Hp, 1, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((Hp, 1, Wp), jnp.float32),
         ],
         interpret=pallas_interpret(),
     )(PLp, PRp, lnp, rnp)
-    return best[:H, 0, :W], match[:H, 0, :W], rmatch[:H, 0, :W]
+    return best[:H, 0, :W], match[:H, 0, :W], rmatch[:H, 0, :W], second[:H, 0, :W]

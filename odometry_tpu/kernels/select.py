@@ -83,3 +83,53 @@ def select_points(
     mask = jnp.zeros((H, W), dtype=bool)
     mask = jax.lax.dynamic_update_slice(mask, keep_img, (boundary, boundary))
     return mask
+
+
+def block_median_map(
+    values: jax.Array,
+    mask: jax.Array,
+    *,
+    boundary: int = 4,
+    block_rows: int = 16,
+    block_cols: int = 32,
+) -> jax.Array:
+    """Masked per-block median of `values`, broadcast back to an (H, W) map.
+
+    Uses the same selection-grid tiling as :func:`select_points`. Blocks with
+    no masked pixel (and the uncovered boundary/trailing region) are +inf —
+    callers treat non-finite as "no local evidence" and skip their check.
+    Backs the depth frontend's local disparity-consistency filter
+    (DepthConfig.block_consistency_tol): semi-dense stereo disparity is
+    locally smooth at the ~23x39 px block scale, so a match far from its
+    block's median matched disparity is an accidental (aliased) match even
+    when its SSD, ratio and LR checks all passed.
+    """
+    H, W = values.shape
+    bh = (H - 2 * boundary) // block_rows
+    bw = (W - 2 * boundary) // block_cols
+    if bh < 1 or bw < 1:
+        raise ValueError("image too small for the requested block grid")
+    sl = lambda a: jax.lax.dynamic_slice(
+        a, (boundary, boundary), (block_rows * bh, block_cols * bw)
+    )
+    n = bh * bw
+    blk = lambda a: (
+        sl(a).reshape(block_rows, bh, block_cols, bw)
+        .transpose(0, 2, 1, 3)
+        .reshape(block_rows * block_cols, n)
+    )
+    v = blk(values)
+    m = blk(mask)
+    big = jnp.float32(jnp.inf)
+    sv = jnp.sort(jnp.where(m, v, big), axis=1)
+    count = jnp.sum(m, axis=1)
+    med_idx = jnp.clip((count - 1) // 2, 0, n - 1)
+    med = jnp.take_along_axis(sv, med_idx[:, None], axis=1)[:, 0]
+    med = jnp.where(count > 0, med, big)
+
+    med_img = jnp.broadcast_to(
+        med.reshape(block_rows, block_cols)[:, None, :, None],
+        (block_rows, bh, block_cols, bw),
+    ).reshape(block_rows * bh, block_cols * bw)
+    out = jnp.full((H, W), big, jnp.float32)
+    return jax.lax.dynamic_update_slice(out, med_img, (boundary, boundary))

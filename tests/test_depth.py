@@ -120,3 +120,81 @@ def test_refine_out_of_bounds_guarded():
     )
     assert np.all(np.isfinite(np.asarray(refined)))
     assert float(np.asarray(resid)[10, 10]) == -1000.0
+
+
+def test_outlier_gates_cut_error_tail(stereo):
+    """Round-5 outlier gates (refine_unmatched=False, refine_max_shift,
+    block_consistency_tol): the >1px disparity-error fraction of the valid
+    set must drop vs the reference-parity config, without collapsing the
+    survivor count. These gates were the multi-seed divergence fix
+    (tools/diag_depth_filters.py measured 17% -> 2% at KITTI size)."""
+    left, right, z = stereo
+    base = compute_depth(jnp.asarray(left), jnp.asarray(right), CAM_CFG, CFG)
+    import dataclasses
+
+    gated_cfg = dataclasses.replace(
+        CFG, refine_unmatched=False, refine_max_shift=1.5,
+        block_consistency_tol=4.0)
+    gated = compute_depth(jnp.asarray(left), jnp.asarray(right), CAM_CFG, gated_cfg)
+
+    def frac_bad(res):
+        valid = np.asarray(res.valid)
+        inv = np.asarray(res.inv_depth)
+        err = np.abs(inv - 1.0 / z)[valid] * CAM_CFG.fx * CAM_CFG.baseline
+        return (err > 1.0).mean(), valid.sum()
+
+    fb_base, n_base = frac_bad(base)
+    fb_gated, n_gated = frac_bad(gated)
+    assert fb_gated <= fb_base
+    assert fb_gated < 0.05
+    assert n_gated >= 0.4 * n_base
+
+
+def test_refine_max_shift_culls_drifters(stereo):
+    """A tight refine_max_shift strictly shrinks the valid set to lanes whose
+    refined disparity stayed near the integer search winner."""
+    import dataclasses
+
+    left, right, _ = stereo
+    loose = compute_depth(jnp.asarray(left), jnp.asarray(right), CAM_CFG,
+                          dataclasses.replace(CFG, refine_unmatched=False))
+    tight = compute_depth(
+        jnp.asarray(left), jnp.asarray(right), CAM_CFG,
+        dataclasses.replace(CFG, refine_unmatched=False, refine_max_shift=0.5))
+    v_loose = np.asarray(loose.valid)
+    v_tight = np.asarray(tight.valid)
+    assert v_tight.sum() <= v_loose.sum()
+    # Tight survivors are a subset of loose survivors.
+    assert not (v_tight & ~v_loose).any()
+
+
+def test_block_median_map_masked():
+    from odometry_tpu.kernels.select import block_median_map
+
+    H2, W2 = 24, 40
+    vals = np.zeros((H2, W2), np.float32)
+    mask = np.zeros((H2, W2), bool)
+    # One block region with values {3, 5, 9} -> median 5.
+    vals[5, 5], vals[6, 6], vals[7, 7] = 3.0, 5.0, 9.0
+    mask[5, 5] = mask[6, 6] = mask[7, 7] = True
+    out = np.asarray(
+        block_median_map(jnp.asarray(vals), jnp.asarray(mask),
+                         boundary=2, block_rows=2, block_cols=2))
+    assert out[5, 5] == 5.0
+    # Uncovered/empty blocks are +inf.
+    assert np.isinf(out[20, 30])
+
+
+def test_second_best_ratio_gate_available(stereo):
+    """ratio_test on: the valid set is a subset of the ratio-off valid set."""
+    import dataclasses
+
+    left, right, _ = stereo
+    off = compute_depth(jnp.asarray(left), jnp.asarray(right), CAM_CFG,
+                        dataclasses.replace(CFG, refine_unmatched=False))
+    on = compute_depth(
+        jnp.asarray(left), jnp.asarray(right), CAM_CFG,
+        dataclasses.replace(CFG, refine_unmatched=False, ratio_test=0.8))
+    v_off, v_on = np.asarray(off.valid), np.asarray(on.valid)
+    assert v_on.sum() <= v_off.sum()
+    assert v_on.sum() > 0

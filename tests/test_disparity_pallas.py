@@ -66,8 +66,8 @@ def test_pallas_band_rmatch_contract_masked_columns(stereo_wide):
 
     ls, rs, _ = stereo_wide
     kw = dict(boundary=4, max_disparity=160, lr_check=True)
-    _, _, rm_x = disparity_winner_maps(ls, rs, backend="xla", **kw)
-    _, _, rm_p = disparity_winner_maps(ls, rs, backend="pallas", **kw)
+    _, _, rm_x, _ = disparity_winner_maps(ls, rs, backend="xla", **kw)
+    _, _, rm_p, _ = disparity_winner_maps(ls, rs, backend="pallas", **kw)
     rm_x, rm_p = np.asarray(rm_x), np.asarray(rm_p)
     # Columns left of `boundary` can never be candidates -> masked everywhere.
     assert (rm_x[:, :4] == 0).all()
