@@ -40,21 +40,29 @@ def main():
 
     num_frames = 49
     scene = make_scene(3, depth=14.0)
-    poses = drive_trajectory(num_frames, step=0.35, seed=4)
     render = jax.jit(lambda T: render_stereo(scene, cam, cfg.camera.baseline, T, H, W))
-    # Frames staged in device memory up front, as a production loader's
-    # prefetcher would (the C++ prefetch runtime overlaps decode+upload with
-    # compute; this dev container's device link would otherwise dominate).
-    frames = []
-    for T in poses:
-        l, r, _ = render(jnp.asarray(T))
-        frames.append((jax.device_put(l), jax.device_put(r)))
-
-    # Warmup + accuracy check through the general runner.
-    res = run_sequence(frames, cfg)
-    assert res.failed_at is None, "depth frontend failed during bench"
-    mte = mean_translation_error(poses[: res.num_frames], res.poses)
-    assert mte < 0.15, f"bench accuracy regression: mte={mte}"
+    # Accuracy gate is the MEDIAN over three trajectory seeds (a single-seed
+    # gate can be green on seed luck; the full 5-seed x 2-scene x 2-preset
+    # sweep is tools/accuracy_sweep.py / ACCURACY.md). All seeds reuse the
+    # same compiled step; frames staged in device memory up front, as the
+    # production prefetcher would (the C++ prefetch runtime overlaps
+    # decode+upload with compute; this dev container's device link would
+    # otherwise dominate).
+    frames = None  # seed-4 frames kept for the timed throughput loop
+    mtes = []
+    for seed in (4, 5, 11):
+        poses = drive_trajectory(num_frames, step=0.35, seed=seed)
+        fr = []
+        for T in poses:
+            l, r, _ = render(jnp.asarray(T))
+            fr.append((jax.device_put(l), jax.device_put(r)))
+        res = run_sequence(fr, cfg)
+        assert res.failed_at is None, "depth frontend failed during bench"
+        mtes.append(float(mean_translation_error(poses[: res.num_frames], res.poses)))
+        if seed == 4:
+            frames = fr
+    med = float(np.median(mtes))
+    assert med < 0.15, f"bench accuracy regression: median mte={med} ({mtes})"
 
     # Timed: tight loop over the cached compiled step, one sync at the end
     # (async dispatch keeps host and device overlapped, like production).
