@@ -55,6 +55,12 @@ class TrackerConfig:
     # improvements). The pose cannot move perceptibly once the step is
     # well under a milliradian/millimeter.
     step_tol: float = 0.0
+    # Looser step tolerance for the coarse levels (l > 0). A coarse level's
+    # only job is to land inside the next level's basin (a couple of px at
+    # ITS scale), so iterating it to step_tol precision is pure while-loop
+    # overhead — xprof: the 4 nested LM loops' per-iteration scalar plumbing
+    # was 22.7% of the r4 step. 0 = use step_tol everywhere.
+    coarse_step_tol: float = 0.0
     # Depth-pyramid decimation phase: "odd" reproduces the reference's
     # image/depth pyramid misalignment (see image/pyramid.py); "even" aligns.
     depth_decimation: str = "odd"
@@ -168,6 +174,14 @@ class DepthConfig:
     # winner; a lane that wanders further found a *different* (usually
     # aliased) photometric minimum. 0 = off.
     refine_max_shift: float = 0.0
+    # Refinement executor: "full" gathers from the full right image every LM
+    # iteration (any interp mode; required for reference parity), "patch"
+    # gathers one small window around each lane's search winner once and
+    # iterates in lane math (bilinear semantics; ~10x less refine HBM
+    # traffic, xprof-measured ~5 ms -> ~0.5 ms per KITTI depth run). "auto"
+    # = patch exactly when its window assumption holds: sub-pixel interp,
+    # matched-only lanes, drift-capped.
+    refine_backend: str = "auto"
     # Beyond-reference: restrict the search to the disparity band implied by
     # [min_depth, max_depth] instead of only culling by range after refinement
     # (depth_estimate.cpp:183) — same effect, applied where it also prevents
@@ -325,7 +339,8 @@ def fast_config() -> PipelineConfig:
         # tighter caps keep only the strongest points, so 4096 wins BOTH
         # axes with a >2x margin to the gate.
         tracker=TrackerConfig(interp="mm", depth_decimation="even",
-                              step_tol=1e-5, point_capacity=4096,
+                              step_tol=1e-5, coarse_step_tol=2e-3,
+                              point_capacity=4096,
                               point_order="blocked"),
         # Depth-side "blocked" is quality-ranked + SSD-threshold-aware
         # (kernels/points.py priority path): the per-tile cap keeps the

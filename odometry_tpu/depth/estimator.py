@@ -287,6 +287,139 @@ def refine_depth_points(
     return out.current, out.resid, out.it, out.err_now
 
 
+def refine_depth_points_patch(
+    left: jax.Array,
+    right: jax.Array,
+    pts: PointSet,
+    cam: CameraConfig,
+    cfg: DepthConfig,
+    half_width: int = 7,
+):
+    """Window-patch inverse-depth refinement (the TPU-fast production path).
+
+    The full-image path (:func:`refine_depth_points`) pays ~5 gathers of
+    (cap,) <- (H, W) per LM iteration (~5 ms per depth run at KITTI size,
+    xprof-measured — the single largest depth cost). With the round-5 drift
+    cap (DepthConfig.refine_max_shift ~ 1.5 px) refinement is BY DESIGN a
+    sub-pixel polish inside a few px of the integer search winner, so this
+    path gathers one (cap, 2*half_width+1) window of the right image around
+    each lane's winner ONCE, then every LM iteration is pure lane math over
+    the resident patch (two tiny (cap, W_patch) take_along gathers). The
+    attempted disparity is clamped to the window interior — a trust region
+    consistent with the drift filter that culls larger wanderers anyway.
+
+    Same LM schedule/filters as the reference ``DepthOptimization``
+    (depth_estimate.cpp:141-168); bilinear sub-pixel sampling semantics.
+    """
+    tx_fx = cam.baseline * cam.fx
+    W = left.shape[1]
+    hw = half_width
+    ys_i = pts.ys.astype(jnp.int32)
+    left_I = clip_gather_2d(left, ys_i, pts.xs.astype(jnp.int32))
+
+    # Patch of the right image around each lane's warp start (the search
+    # winner): columns base-hw .. base+hw, one gather total.
+    x0f = pts.xs - tx_fx * pts.inv_depth
+    base = jnp.clip(jnp.round(x0f).astype(jnp.int32), hw, W - 1 - hw)
+    offs = jnp.arange(-hw, hw + 1, dtype=jnp.int32)
+    cols = base[:, None] + offs[None, :]
+    patch = right[ys_i[:, None], cols]  # (cap, 2hw+1)
+    # Central x-gradient of the patch (interior taps only).
+    gpatch = 0.5 * (patch[:, 2:] - patch[:, :-2])  # (cap, 2hw-1)
+
+    lo = (base - (hw - 2)).astype(jnp.float32)
+    hi = (base + (hw - 2)).astype(jnp.float32)
+
+    # Gather-free window interpolation: linear interp at position p over a
+    # K-tap resident window is the hat-weighted sum sum_k w[k]*hat(p - k) —
+    # pure (cap, K) VPU lane math. take_along_axis per iteration was
+    # measured as slow as the full-image gather it replaced (TPU gathers
+    # are per-element-overhead-bound, not footprint-bound).
+    taps_p = jnp.arange(2 * hw + 1, dtype=jnp.float32)[None, :]
+    taps_g = jnp.arange(1, 2 * hw, dtype=jnp.float32)[None, :]
+
+    def sample(warped_xf):
+        relp = jnp.clip(
+            warped_xf - (base.astype(jnp.float32) - hw), 1.0, 2 * hw - 1.0
+        )[:, None]
+        val = jnp.sum(patch * jnp.maximum(0.0, 1.0 - jnp.abs(relp - taps_p)), axis=1)
+        # Gradient at the NEAREST tap — the exact semantics of the full-image
+        # bilinear path (gxr gathered at round(uw)); box weights instead of a
+        # one-hot gather.
+        grad = jnp.sum(gpatch * (jnp.abs(relp - taps_g) <= 0.5), axis=1)
+        return val, grad
+
+    def eval_system(d):
+        warped_xf = pts.xs - tx_fx * d
+        in_bounds = (warped_xf >= lo) & (warped_xf <= hi) & pts.valid
+        val, grad = sample(warped_xf)
+        r = left_I - val
+        g = tx_fx * grad
+        w = jnp.where(jnp.abs(r) <= cfg.huber_delta, 1.0,
+                      cfg.huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
+        ibf = in_bounds.astype(jnp.float32)
+        jtwj = g * g * w * ibf
+        b = -g * w * r * ibf
+        resid = jnp.where(in_bounds, jnp.abs(r), jnp.float32(_SENTINEL))
+        n_act = jnp.sum(ibf)
+        err = jnp.where(
+            n_act > 0,
+            jnp.sum(r * r * w * ibf) / jnp.maximum(n_act, 1.0),
+            jnp.float32(jnp.inf),
+        )
+        return jtwj, b, resid, err
+
+    def cond(carry):
+        c, _esc = carry
+        return c.active & (c.it < cfg.max_iters)
+
+    def body(carry):
+        c, esc = carry
+        jtwj, b, resid, err_now = eval_system(c.tmp)
+        bad = err_now > c.err_last
+        lam_up = c.lam * cfg.lambda_up
+        lam_down = jnp.maximum(c.lam / cfg.lambda_down, cfg.lambda_min)
+        lam_new = jnp.where(bad, lam_up, lam_down)
+        break_bad = bad & (lam_up > cfg.lambda_max)
+        current = jnp.where(bad, c.pre, c.tmp)
+        pre = current
+        break_good = (~bad) & (err_now / c.err_last > cfg.precision)
+        err_last = jnp.where(bad, c.err_last, err_now)
+        active = ~(break_bad | break_good)
+        denom = jtwj * (1.0 + lam_new)
+        delta = jnp.where(denom > 0, b / jnp.where(denom > 0, denom, 1.0), 0.0)
+        tmp_raw = current + delta
+        # Trust region: clamp the attempted warp inside the resident window —
+        # and PERMANENTLY mark lanes the clamp bites. An escape attempt means
+        # the lane wants a different photometric basin, not a sub-pixel
+        # polish; the full-image path lets such lanes wander and culls them
+        # via the drift filter, and rescuing them by clamping was measured to
+        # re-poison the depth map (sweep tails 0.10 -> 0.71 on one cell).
+        tmp = jnp.clip(tmp_raw, (pts.xs - hi) / tx_fx, (pts.xs - lo) / tx_fx)
+        esc = esc | (tmp != tmp_raw)
+        return (
+            _RefineCarry(tmp, current, pre, resid, err_last, err_now,
+                         lam_new, c.it + 1, active),
+            esc,
+        )
+
+    f32 = jnp.float32
+    cap = pts.xs.shape[0]
+    init = _RefineCarry(
+        tmp=pts.inv_depth,
+        current=pts.inv_depth,
+        pre=pts.inv_depth,
+        resid=jnp.zeros((cap,), f32),
+        err_last=jnp.asarray(1e10, f32),
+        err_now=jnp.asarray(0.0, f32),
+        lam=jnp.asarray(cfg.lambda_init, f32),
+        it=jnp.asarray(0, jnp.int32),
+        active=jnp.asarray(True),
+    )
+    out, escaped = jax.lax.while_loop(cond, body, (init, jnp.zeros((cap,), bool)))
+    return out.current, out.resid, out.it, out.err_now, escaped
+
+
 def compute_depth(
     left: jax.Array,
     right: jax.Array,
@@ -408,7 +541,19 @@ def compute_depth(
     if not cfg.refine_unmatched:
         # Only search-confirmed lanes refine (see DepthConfig.refine_unmatched).
         pts = pts._replace(valid=pts.valid & matched_l)
-    refined, resid, iters, cost = refine_depth_points(left, right, pts, cam, cfg)
+    use_patch = cfg.refine_backend == "patch" or (
+        cfg.refine_backend == "auto"
+        and cfg.interp in ("bilinear", "mm")
+        and not cfg.refine_unmatched
+        and cfg.refine_max_shift > 0
+    )
+    if use_patch:
+        refined, resid, iters, cost, escaped = refine_depth_points_patch(
+            left, right, pts, cam, cfg
+        )
+    else:
+        refined, resid, iters, cost = refine_depth_points(left, right, pts, cam, cfg)
+        escaped = None
 
     # Writeback + filtering (depth_estimate.cpp:176-197), per point lane.
     photo_bad = (resid > cfg.photo_th) | (resid == _SENTINEL)
@@ -416,6 +561,8 @@ def compute_depth(
     depth = 1.0 / safe
     range_bad = (depth > cfg.max_depth) | (depth < cfg.min_depth)
     valid_pt = pts.valid & ~photo_bad & ~range_bad
+    if escaped is not None:
+        valid_pt = valid_pt & ~escaped
     if cfg.refine_max_shift > 0:
         # Matched lanes must stay near their integer search winner; a larger
         # drift means refinement crossed into a different photometric basin.

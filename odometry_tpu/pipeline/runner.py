@@ -64,6 +64,7 @@ def run_sequence(
     checkpoint_every: int = 0,
     resume: bool = False,
     collect_vis: bool = False,
+    debug_checks: bool = False,
 ) -> RunResult:
     """Run odometry over an iterable of (left, right) float32 image pairs.
 
@@ -78,6 +79,11 @@ def run_sequence(
         restarts mid-sequence from that file, skipping completed frames.
       * `collect_vis`: keep (image, inverse_depth, valid) for every promoted
         keyframe so the driver can write save_to_vis-style dumps.
+      * `debug_checks`: run the checkify-instrumented step (utils/debug.py):
+        a NaN/Inf input or estimate, or an out-of-bounds index anywhere in
+        the jitted step, raises a LOCALIZED JaxRuntimeError at that frame
+        instead of being silently absorbed by the isfinite guards. Several
+        times slower; for hunts, not production.
     """
     from odometry_tpu.utils.profiling import StageTimer
 
@@ -88,6 +94,15 @@ def run_sequence(
         left0, right0 = next(it)
 
     jit_init, jit_step = _compiled(cfg, init_pose is not None)
+    if debug_checks:
+        from odometry_tpu.utils.debug import checked_step
+
+        checked = checked_step(cfg)
+
+        def jit_step(s, l, r):  # noqa: F811 — instrumented replacement
+            err, out = checked(s, l, r)
+            err.throw()
+            return out
     with timer.stage("init"):
         if init_pose is not None:
             state, ok0 = jit_init(

@@ -105,6 +105,7 @@ def _solve_level(
     T_init: jax.Array,
     max_iters: int,
     cfg: TrackerConfig,
+    step_tol: float | None = None,
 ):
     def system(T):
         sys = residual_jacobian(
@@ -127,7 +128,7 @@ def _solve_level(
         )
         return normal_equations(sys, w)
 
-    return _lm_loop(system, T_init, max_iters, cfg)
+    return _lm_loop(system, T_init, max_iters, cfg, step_tol)
 
 
 def _solve_level_points(
@@ -137,6 +138,7 @@ def _solve_level_points(
     T_init: jax.Array,
     max_iters: int,
     cfg: TrackerConfig,
+    step_tol: float | None = None,
 ):
     # Gradient images once per level per frame; every LM iteration then needs
     # only 3 (floor) / 6 (bilinear) gathers — or zero gathers in "mm" mode,
@@ -167,10 +169,13 @@ def _solve_level_points(
         )
         return normal_equations_points(sys, w)
 
-    return _lm_loop(system, T_init, max_iters, cfg)
+    return _lm_loop(system, T_init, max_iters, cfg, step_tol)
 
 
-def _lm_loop(system, T_init: jax.Array, max_iters: int, cfg: TrackerConfig):
+def _lm_loop(system, T_init: jax.Array, max_iters: int, cfg: TrackerConfig,
+             step_tol: float | None = None):
+    if step_tol is None:
+        step_tol = cfg.step_tol
     def cond(c: _Carry):
         return c.active & (c.it < max_iters)
 
@@ -204,8 +209,8 @@ def _lm_loop(system, T_init: jax.Array, max_iters: int, cfg: TrackerConfig):
         delta = solve_spd6(A, -eqs.JtWr)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         inc = se3_compose(se3_exp(delta), current)
-        if cfg.step_tol > 0:
-            active = active & (jnp.max(jnp.abs(delta)) >= cfg.step_tol)
+        if step_tol > 0:
+            active = active & (jnp.max(jnp.abs(delta)) >= step_tol)
 
         return _Carry(
             inc=inc,
@@ -263,6 +268,7 @@ def solve_pose(
     failed = jnp.asarray(False)
     stats = []
     for l in range(num_levels - 1, -1, -1):
+        tol = cfg.step_tol if l == 0 else max(cfg.step_tol, cfg.coarse_step_tol)
         T, failed_l, st = _solve_level(
             pyr_kf[l],
             dpyr_kf[l],
@@ -271,6 +277,7 @@ def solve_pose(
             T,
             cfg.max_iterations[l],
             cfg,
+            tol,
         )
         failed = failed | failed_l
         stats.append(st)
@@ -297,6 +304,7 @@ def solve_pose_points(
     failed = jnp.asarray(False)
     stats = []
     for l in range(num_levels - 1, -1, -1):
+        tol = cfg.step_tol if l == 0 else max(cfg.step_tol, cfg.coarse_step_tol)
         T, failed_l, st = _solve_level_points(
             kf_levels[l],
             pyr_cur[l],
@@ -304,6 +312,7 @@ def solve_pose_points(
             T,
             cfg.max_iterations[l],
             cfg,
+            tol,
         )
         failed = failed | failed_l
         stats.append(st)

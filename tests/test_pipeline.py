@@ -308,3 +308,22 @@ def test_constant_velocity_diverges_on_planar_scene():
     assert mte_cv > 2 * mte, (
         f"constant-velocity warm start no longer diverges here "
         f"(mte_cv={mte_cv} vs {mte}); revisit the preset choice")
+
+
+def test_debug_checks_localize_nan_frame(sequence):
+    """Sanitizer mode (SURVEY §5 A2): a NaN injected into an input frame
+    raises a localized checkify error at that frame; the production path
+    silently absorbs it (isfinite guards). utils/debug.py."""
+    _, _, frames = sequence
+    bad = list(frames[:5])
+    l2 = np.asarray(bad[2][0]).copy()
+    l2[10, 10] = np.nan
+    bad[2] = (l2, bad[2][1])
+
+    with pytest.raises(Exception) as ei:
+        run_sequence(bad, CFG, debug_checks=True)
+    assert "non-finite LEFT input frame" in str(ei.value)
+
+    # Production path: absorbed (no exception), tracking flags handle it.
+    res = run_sequence(bad, CFG, debug_checks=False)
+    assert res.num_frames >= 3
