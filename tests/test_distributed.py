@@ -158,3 +158,45 @@ def test_stack_local_frames_sharding():
     # One shard per device along the sequence axis.
     assert len(lb.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(lb), np.asarray(lefts))
+
+
+@pytest.mark.slow
+def test_two_process_multihost_smoke():
+    """Two coordinated OS processes (each owning one virtual CPU device) run
+    one sharded sweep step over a 2-device global mesh — `initialize_multihost`
+    + `stack_local_frames`'s `make_array_from_process_local_data` path execute
+    beyond a single process (round-4 verdict item 8). See
+    tests/multihost_worker.py for the per-process body."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # grab a free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = root
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(root, "tests", "multihost_worker.py"),
+             str(pid), str(port)],
+            cwd=root, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pid {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={pid} global_ok=True" in out, out
