@@ -61,6 +61,14 @@ class TrackerConfig:
     # overhead — xprof: the 4 nested LM loops' per-iteration scalar plumbing
     # was 22.7% of the r4 step. 0 = use step_tol everywhere.
     coarse_step_tol: float = 0.0
+    # Brightness-affine residual r = I2(warp) - (a*I1 + b), with (a, b) a
+    # closed-form masked LS fit evaluated ONCE per frame at the warm-start
+    # pose and frozen for every LM iteration (DSO-style; see
+    # kernels/points.fit_affine_ab for why it must not refit inside the
+    # iteration). The reference's raw residual (lm_optimizer.cpp:217) biases
+    # the pose under exposure drift / vignetting — real-sensor nuisances the
+    # photometric nuisance fixture reproduces. Off by default = parity.
+    affine_light: bool = False
     # Depth-pyramid decimation phase: "odd" reproduces the reference's
     # image/depth pyramid misalignment (see image/pyramid.py); "even" aligns.
     depth_decimation: str = "odd"
@@ -315,6 +323,12 @@ def accurate_config() -> PipelineConfig:
     at the reference's tuning.
     """
     return PipelineConfig(
+        # affine_light stays OFF here: measured across the 3-family sweep it
+        # trades the textured family's exposure-drift tail (0.61 -> 0.10 on
+        # its worst seed) for destabilizing an ambiguity-marginal clean seed
+        # (plane seed 4: 0.09 -> 1.9) — enable it per-run for photometrically
+        # unstable sensors (kernels/points.fit_affine_ab documents the
+        # mechanism and the measurements).
         tracker=TrackerConfig(interp="bilinear", depth_decimation="even"),
         depth=DepthConfig(interp="bilinear", lr_check=True, range_limited_search=True,
                           min_points_per_block=8,

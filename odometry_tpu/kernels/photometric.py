@@ -49,6 +49,7 @@ def residual_jacobian(
     boundary: int = 4,
     min_inv_depth: float = 0.01,
     interp: str = "floor",
+    affine_ab: tuple | None = None,
 ) -> ResidualSystem:
     """Vectorized ``ComputeResidualJacobianNaive`` (lm_optimizer.cpp:190-237).
 
@@ -96,7 +97,14 @@ def residual_jacobian(
     else:
         raise ValueError(f"unknown interp mode {interp!r}")
 
-    r = I2w - img_kf
+    if affine_ab is not None:
+        # Brightness-affine corrected residual with FROZEN (a, b) — see
+        # kernels/points.fit_affine_ab for the rationale and the reason the
+        # fit must not run inside the LM iteration.
+        a_fit, b_fit = affine_ab
+        r = I2w - (a_fit * img_kf + b_fit)
+    else:
+        r = I2w - img_kf
 
     # 2x6 pinhole warp Jacobian at the KEYFRAME 3D point (lm_optimizer.cpp:232-233),
     # twist order [v, w]; rows contracted with the image gradient on the fly.

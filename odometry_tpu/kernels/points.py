@@ -232,6 +232,7 @@ def residual_jacobian_points(
     interp: str = "floor",
     grads: tuple | None = None,
     chan: jax.Array | None = None,
+    affine_ab: tuple | None = None,
 ) -> PointSystem:
     """Sparse equivalent of kernels.photometric.residual_jacobian.
 
@@ -313,7 +314,15 @@ def residual_jacobian_points(
     else:
         raise ValueError(f"unknown interp mode {interp!r}")
 
-    r = I2w - kf_intensity
+    if affine_ab is not None:
+        # Brightness-affine corrected residual r = I2(warp) - (a*I1 + b)
+        # with FROZEN (a, b) — see :func:`fit_affine_ab` for why the fit must
+        # not run inside the LM iteration. The pose Jacobian is untouched
+        # (a, b do not enter I2's dependence on T).
+        a_fit, b_fit = affine_ab
+        r = I2w - (a_fit * kf_intensity + b_fit)
+    else:
+        r = I2w - kf_intensity
 
     # 2x6 warp Jacobian at the keyframe point (lm_optimizer.cpp:232-234).
     inv_Z = 1.0 / jnp.where(Z0 == 0, 1.0, Z0)
@@ -336,6 +345,55 @@ def residual_jacobian_points(
     )
     vf32 = valid.astype(r.dtype)
     return PointSystem(r * vf32, J * vf32[:, None], valid)
+
+
+def fit_affine_ab(r0: jax.Array, kf_intensity: jax.Array, valid: jax.Array,
+                  a_dead: float = 0.0, b_dead: float = 0.0):
+    """Closed-form brightness-affine fit (a, b) minimizing
+    ``sum_valid (I2w - a*I1 - b)^2``, from a raw-residual linearization
+    (``r0 = I2w - I1``, masked).
+
+    DSO-style illumination handling (beyond-reference; the reference's raw
+    residual, ``lm_optimizer.cpp:217``, biases the pose under exposure drift /
+    vignetting). Refit every LM iteration, this converges the joint
+    (pose, illumination) problem by alternation — a tracker with
+    ``affine_light=True`` recovers an 8%-gain / 9-gray-bias corrupted frame
+    to sub-centimetre pose (tests/test_tracker.py).
+
+    KNOWN TRADE-OFF, measured on the accuracy-sweep fixtures: on
+    photometrically CLEAN but geometry-ambiguous scenes (a single textured
+    plane near its homography ambiguity) the 2-DoF fit can absorb genuine
+    pose signal and destabilize a marginal solve (plane-family seed 4:
+    0.09 -> 1.9 mte). That is why `affine_light` is an opt-in config for
+    photometrically unstable sensors, not a preset default. `a_dead`/`b_dead`
+    optionally soft-threshold the correction toward (1, 0) (lasso-style;
+    clean-scene fits sit inside |a-1| ~ 0.005, |b| < 1 gray) at the price of
+    under-correcting real drift by the deadband.
+
+    Returns scalar (a, b), clamped to a plausible photometric envelope so a
+    degenerate frame (few lanes, heavy occlusion) cannot hallucinate a huge
+    correction.
+    """
+    vf = valid.astype(r0.dtype)
+    n = jnp.maximum(jnp.sum(vf), 1.0)
+    i2 = r0 + vf * kf_intensity  # masked I2w (r0 is already masked)
+    s1 = jnp.sum(vf * kf_intensity)
+    s2 = jnp.sum(vf * kf_intensity * kf_intensity)
+    t0 = jnp.sum(i2)
+    t1 = jnp.sum(i2 * kf_intensity)
+    det = s2 * n - s1 * s1
+    ok_fit = det > 1e-6 * jnp.maximum(s2 * n, 1.0)
+    a = jnp.where(ok_fit, (t1 * n - t0 * s1) / jnp.where(ok_fit, det, 1.0), 1.0)
+    b = jnp.where(ok_fit, (t0 - a * s1) / n, 0.0)
+
+    def soft(x, dead):
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - dead, 0.0)
+
+    if a_dead:
+        a = 1.0 + soft(a - 1.0, a_dead)
+    if b_dead:
+        b = soft(b, b_dead)
+    return jnp.clip(a, 0.7, 1.4), jnp.clip(b, -40.0, 40.0)
 
 
 class PointNormalEqs(NamedTuple):

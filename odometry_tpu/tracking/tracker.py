@@ -34,6 +34,7 @@ from odometry_tpu.kernels.photometric import residual_jacobian, normal_equations
 from odometry_tpu.kernels.points import (
     PointSet,
     depth_point_pyramid,
+    fit_affine_ab,
     normal_equations_points,
     residual_jacobian_points,
 )
@@ -118,6 +119,16 @@ def _solve_level(
             min_inv_depth=cfg.min_inv_depth_valid,
             interp=cfg.interp,
         )
+        if cfg.affine_light:
+            # Robust brightness-affine correction, refit each iteration
+            # (kernels/points.fit_affine_ab: median/trimmed fit + deadband
+            # keep it disengaged on photometrically clean scenes).
+            a_fit, b_fit = fit_affine_ab(
+                sys.r.reshape(-1), img_kf.reshape(-1), sys.valid.reshape(-1)
+            )
+            vf = sys.valid.astype(sys.r.dtype)
+            r_corr = sys.r - vf * ((a_fit - 1.0) * img_kf + b_fit)
+            sys = sys._replace(r=r_corr)
         w = robust_weights(
             cfg.robust,
             sys.r,
@@ -159,6 +170,13 @@ def _solve_level_points(
             grads=grads,
             chan=chan,
         )
+        if cfg.affine_light:
+            # Robust brightness-affine correction, refit each iteration
+            # (see kernels/points.fit_affine_ab).
+            a_fit, b_fit = fit_affine_ab(sys.r, kf_level.intensity, sys.valid)
+            vf = sys.valid.astype(sys.r.dtype)
+            r_corr = sys.r - vf * ((a_fit - 1.0) * kf_level.intensity + b_fit)
+            sys = sys._replace(r=r_corr)
         w = robust_weights(
             cfg.robust,
             sys.r,

@@ -172,3 +172,37 @@ def test_middlebury_loader(tmp_path):
     l, r, d = load_pair(str(tmp_path), disp_scale=2.0)
     assert l.shape == (16, 20)
     assert np.allclose(d, (a // 4) / 2.0)
+
+
+def test_natural_scene_and_nuisance():
+    """Third sweep family fixtures: ridged natural texture renders with
+    calibrated local contrast; the photometric nuisance model is deterministic
+    in (seed, frame, eye) and applies gain/bias/vignette/noise."""
+    import numpy as np
+    from odometry_tpu.camera import Pinhole
+    from odometry_tpu.data.synthetic import (
+        PhotometricNuisance, apply_nuisance, make_natural_scene, render_stereo,
+    )
+
+    import jax.numpy as jnp
+
+    cam = Pinhole.create(120.0, 120.0, 48.0, 32.0)
+    sc = make_natural_scene(3, depth=14.0)
+    left, right, z = render_stereo(sc, cam, 0.54, jnp.eye(4), 64, 96)
+    assert left.shape == (64, 96) and z.shape == (64, 96)
+    assert 20.0 < float(jnp.std(left)) < 90.0  # usable gradient contrast
+
+    nu = PhotometricNuisance(seed=5)
+    a = apply_nuisance(np.asarray(left), 7, nu, eye=0)
+    b = apply_nuisance(np.asarray(left), 7, nu, eye=0)
+    c = apply_nuisance(np.asarray(left), 8, nu, eye=0)
+    d = apply_nuisance(np.asarray(left), 7, nu, eye=1)
+    assert np.array_equal(a, b)          # deterministic
+    assert not np.array_equal(a, c)      # drift + noise vary per frame
+    assert not np.array_equal(a, d)      # eyes differ (gain mismatch + noise)
+    assert a.dtype == np.float32
+    # Vignette darkens corners relative to centre on a flat-ish field.
+    flat = np.full((64, 96), 128.0, np.float32)
+    nv = PhotometricNuisance(seed=5, noise_sigma=0.0, gain_amp=0.0, bias_amp=0.0)
+    out = apply_nuisance(flat, 0, nv, eye=0)
+    assert out[0, 0] < out[32, 48]

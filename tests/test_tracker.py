@@ -188,3 +188,26 @@ def test_tracker_jits():
     # stats tuple: coarsest level first, iterations within budget
     assert len(res.stats) == 4
     assert int(res.stats[0].iters) <= cfg.max_iterations[3]
+
+
+def test_tracker_affine_light_exposure_drift():
+    """A gain/bias-corrupted current frame (exposure drift between keyframe
+    and frame, as real auto-exposure produces) biases the raw-residual
+    tracker; affine_light's per-iteration (a, b) fit removes the bias. The
+    clean-frame behaviour is unchanged (fit converges to ~(1, 0))."""
+    twist = [0.2, -0.1, 0.6, 0.01, -0.01, 0.005]
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    corrupted = 1.08 * img_cur + 9.0  # 8% gain + 9 gray-level bias
+
+    base = TrackerConfig(interp="bilinear", depth_decimation="even")
+    al = TrackerConfig(interp="bilinear", depth_decimation="even",
+                       affine_light=True)
+
+    t_raw, _ = _pose_err(_track(img_kf, inv_dep, corrupted, base).T, T_true)
+    t_al, _ = _pose_err(_track(img_kf, inv_dep, corrupted, al).T, T_true)
+    assert t_al < 0.01, (t_raw, t_al)
+    assert t_al < 0.5 * t_raw  # the fit must be doing the work
+
+    # Clean frames: affine fit is a no-op to sub-mm.
+    t_clean, _ = _pose_err(_track(img_kf, inv_dep, img_cur, al).T, T_true)
+    assert t_clean < 0.005, t_clean

@@ -2,8 +2,9 @@
 
 The bench gate (bench.py: mte < 0.15 on one plane trajectory) is one
 trajectory wide; this harness measures the fast/accurate presets over
-SEEDS trajectory seeds x two scene families (the bench's plane scene and
-the parity tests' driving geometry) at full KITTI size, reports
+SEEDS trajectory seeds x three scene families (the bench's plane scene, the
+parity tests' driving geometry, and a natural ridged texture with the
+photometric nuisance model applied) at full KITTI size, reports
 median/min/max, and exits nonzero if any config's MEDIAN is not green with
 margin. Results table is written to ACCURACY.md.
 
@@ -22,6 +23,14 @@ import numpy as np
 SEEDS = [3, 4, 5, 11, 23]
 GATE = 0.15
 MARGIN = 0.30  # require median <= GATE * (1 - MARGIN)
+# The textured family deliberately stresses the algorithm class's known
+# limitation — a raw photometric residual with no illumination model
+# (lm_optimizer.cpp:217) on C0 multi-octave texture with sensor nuisances —
+# so its gate is the bench gate itself, without the clean families' extra
+# 30% margin (measured difficulty ~2x the clean families for BOTH presets;
+# the opt-in TrackerConfig.affine_light halves its tail, see
+# kernels/points.fit_affine_ab).
+FAMILY_MARGIN = {"plane": MARGIN, "driving": MARGIN, "textured": 0.0}
 
 
 def run():
@@ -32,8 +41,11 @@ def run():
     from odometry_tpu.camera import Pinhole
     from odometry_tpu.config import accurate_config, fast_config
     from odometry_tpu.data.synthetic import (
+        PhotometricNuisance,
+        apply_nuisance,
         drive_trajectory,
         make_driving_scene,
+        make_natural_scene,
         make_scene,
         render_stereo,
     )
@@ -55,18 +67,29 @@ def run():
         # ~+-1.5*depth laterally; the driving corridor's side walls sit at
         # +-side_x) — a sweep that drives out of the world measures the
         # fixture, not the presets.
-        for scene_name, scene_fn, step in (
-            ("plane", lambda s: make_scene(s, depth=14.0), 0.25),
+        # Third family ("textured"): natural multi-octave ridged texture PLUS
+        # the photometric nuisance model (exposure drift, inter-eye gain
+        # mismatch, vignette, sensor noise) — the closest available proxy for
+        # the real-sensor data the reference validated on (test_optimizer.cpp
+        # :23-26, test_disparity.cpp:17).
+        for scene_name, scene_fn, step, nuis in (
+            ("plane", lambda s: make_scene(s, depth=14.0), 0.25, None),
             ("driving", lambda s: make_driving_scene(s, side_x=20.0, wall_z=26.0),
-             0.25),
+             0.25, None),
+            ("textured", lambda s: make_natural_scene(s, depth=14.0), 0.25,
+             lambda s: PhotometricNuisance(seed=s)),
         ):
             mtes = []
             for seed in SEEDS:
                 scene = scene_fn(seed)
+                nu = nuis(seed) if nuis is not None else None
                 poses = drive_trajectory(num_frames, step=step, seed=seed)
                 frames = []
-                for T in poses:
+                for fi, T in enumerate(poses):
                     l, r, _ = render(scene, jnp.asarray(T))
+                    if nu is not None:
+                        l = apply_nuisance(np.asarray(l), fi, nu, eye=0)
+                        r = apply_nuisance(np.asarray(r), fi, nu, eye=1)
                     frames.append((l, r))
                 t0 = time.perf_counter()
                 try:
@@ -104,9 +127,13 @@ def run():
     lines = [
         "# ACCURACY — multi-seed preset sweep",
         "",
-        f"{len(SEEDS)} trajectory seeds x 2 scene families x 2 presets, full KITTI",
+        f"{len(SEEDS)} trajectory seeds x 3 scene families x 2 presets, full KITTI",
         f"size (376x1241), 49 frames each, `tools/accuracy_sweep.py`. Gate: mte <",
-        f"{GATE} (bench.py), margin requirement: median <= {GATE * (1 - MARGIN):.3f}.",
+        f"{GATE} (bench.py); margin requirement: median <= {GATE * (1 - MARGIN):.3f}",
+        f"for the clean families, median <= {GATE:.2f} for `textured` (it",
+        "deliberately stresses the class's no-illumination-model limitation on",
+        "C0 natural texture + sensor nuisances — ~2x clean-family difficulty",
+        "for both presets; opt-in TrackerConfig.affine_light halves its tail).",
         "",
         "| config | scene | median mte | min | max | green |",
         "|---|---|---|---|---|---|",
@@ -117,7 +144,7 @@ def run():
             f"| {r['config']} | {r['scene']} | {r['median']:.4f} | {r['min']:.4f} "
             f"| {r['max']:.4f} | {r['n_green']}/{r['n']} |"
         )
-        if r["median"] > GATE * (1 - MARGIN):
+        if r["median"] > GATE * (1 - FAMILY_MARGIN[r["scene"]]):
             ok = False
     backend = None
     try:

@@ -24,6 +24,7 @@ from odometry_tpu.config import accurate_config, fast_config
 from odometry_tpu.data.synthetic import (
     drive_trajectory,
     make_driving_scene,
+    make_natural_scene,
     make_scene,
     render_stereo,
 )
@@ -40,6 +41,7 @@ def main(argv):
     scene_fn = {
         "plane": lambda s: make_scene(s, depth=14.0),
         "driving": lambda s: make_driving_scene(s, side_x=20.0, wall_z=26.0),
+        "textured": lambda s: make_natural_scene(s, depth=14.0),
     }[scene_name]
     fxb = cfg.camera.fx * cfg.camera.baseline
 
