@@ -102,70 +102,86 @@ def _kernel(pl_ref, pr_ref, ln_ref, rn_ref, best_ref, match_ref, rmatch_ref,
         rmatch_ref[r, 0, :] = jnp.min(ridx, axis=0).astype(jnp.int32)
 
 
-def _band_kernel(*refs, R, NT, P, with_rev, with_second=False, second_excl=2):
-    """Banded SSD + first-minimum winners for one (R rows, 128 query px) step.
+# Low-bit index packing (the v2 kernel's core trick): positive IEEE-754
+# floats are order-isomorphic to their int32 bit patterns, so clearing the
+# low JBITS mantissa bits of the SSD and OR-ing in the candidate index makes
+# ONE integer min-reduction return (quantized-best SSD, first-minimum index)
+# simultaneously — the reference's strict-< scan tie rule
+# (depth_estimate.cpp:385) falls out of the low bits comparing ascending.
+# Quantization: 2^JBITS ulps, relative 2^(JBITS-24) ~ 6e-5 at JBITS=9 —
+# far inside the bf16-split's documented ~0.25-0.6 absolute SSD band.
+_JBITS = 9   # slab column j in the forward key (S <= 512)
+_IBITS = 7   # query lane i in the reverse key (128 queries per step)
 
-    One fused pass produces BOTH directions of the left-right check:
-    forward (per left pixel x: best SSD + first-minimum candidate j over the
-    slab) and, when `with_rev`, per-slab-column reverse partial minima over
-    the step's 128 queries (combined across overlapping steps by the caller —
-    each candidate column is covered by up to NT query tiles).
 
-    Query patterns: (R, K, 128) bf16 split-stacks (see :func:`_split3`).
-    Candidate slab: NT=P/128+1 tiles concatenated to (R, K, S), S = P + 128,
-    covering xr in [128t - P, 128t + 128); disparity d = i - j + P. The band
-    constraint (min_d <= d <= max_d) depends only on (i, j), so it arrives as
-    a precomputed additive {0, BIG} mask input instead of per-step
-    iota+compare chains (measured: the masking passes, not the MXU work,
-    dominate this kernel). The boundary/image-edge constraints are baked into
-    the BIG-padded norm inputs by the caller.
+def _band_kernel(*refs, R, NT, with_rev, with_second=False, second_excl=2):
+    """Banded SSD + packed first-minimum winners, one (R, 128-query) step.
+
+    v2 design (measured v1: ~7-11% of its bandwidth bound, dominated by VPU
+    mask/equality/argmin passes — PERF.md):
+
+    * The 6 squared-norm terms ride the MXU as extra K rows (K = 78:
+      72 split-product rows + 3 rows of -0.5*split3(qn) against ones + 3
+      ones-rows against -0.5*split3(cn)), so the full masked SSD is ONE
+      fused multiply-add from the contraction: ssd = -2*cross_ext + bm.
+      BIG-valued norm pads double as query/candidate validity masks.
+    * Forward and reverse winners come from ONE integer min each over
+      index-packed keys (see _JBITS/_IBITS above) instead of
+      min + equality + select + min chains.
+    * Per-candidate-tile loop writes a key scratch slab; reductions run on
+      the full (R, 128, S) slab once.
+
+    Outputs: best (R, 128) f32 (quantized), match (R, 128) int32 local slab
+    column, rkey (R, NT, 128) int32 packed reverse partials (combined across
+    overlapping steps by the caller), sec (R, 128) f32 when with_second.
     """
-    pl_ref = refs[0]
+    q_ref = refs[0]
     cand_refs = refs[1 : 1 + NT]
-    ln_ref = refs[1 + NT]
-    cn_refs = refs[2 + NT : 2 + 2 * NT]
-    bm_ref = refs[2 + 2 * NT]
-    out_refs = refs[3 + 2 * NT :]
+    bm_ref = refs[1 + NT]
+    out_refs = refs[2 + NT : -1]
+    key_scratch = refs[-1]
     best_ref, match_ref = out_refs[0], out_refs[1]
-    q = pl_ref[...]  # (R, K, 128)
-    cand = jnp.concatenate([c[...] for c in cand_refs], axis=2)
-    cn = jnp.concatenate([c[...] for c in cn_refs], axis=2)
-    qn = ln_ref[...]  # (R, 1, 128)
-    S = cand.shape[2]
-    # One bf16 MXU pass with f32 accumulation. The K axis carries the 8-point
-    # pattern x 9 exact-split product pairs (_split3), so every partial
-    # product is exact and the result is f32-accurate — vs HIGHEST's 6-pass
-    # decomposition of an already latency-bound K=8 matmul (~4x slower).
-    cross = jax.lax.dot_general(
-        q, cand, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (R, 128, S)
-    # qn BIG-pads make padded queries lose every reverse min; cn BIG-pads
-    # (pad region + boundary columns) make those candidates lose forward
-    # mins; bm adds BIG outside the disparity band.
-    # Same FP association as the XLA path (qn + cn - 2*cross) so accepted
-    # winners agree bit-for-bit; the mask add comes last (BIG dwarfs any real
-    # SSD, so masked lanes can never win a min).
-    ssd = (qn.transpose(0, 2, 1) + cn - 2.0 * cross) + bm_ref[...][None]
-    best = jnp.min(ssd, axis=2)  # (R, 128)
-    j = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 2)
-    idx = jnp.where(ssd == best[:, :, None], j, jnp.int32(2**30))
-    match = jnp.min(idx, axis=2).astype(jnp.int32)
+    q = q_ref[...]  # (R, K, 128) bf16
+    jmask = jnp.int32(2**_JBITS - 1)
+    imask = jnp.int32(2**_IBITS - 1)
+    for t in range(NT):
+        # One bf16 MXU pass with f32 accumulation. The K axis carries the
+        # 8-point pattern x 9 exact-split product pairs plus the norm rows
+        # (_split_stacks), so every partial product is exact and the result
+        # is f32-accurate from a single pass.
+        cross = jax.lax.dot_general(
+            q, cand_refs[t][...],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, 128, 128): ssd * -0.5 for this candidate tile
+        ssd = cross * (-2.0) + bm_ref[:, t * 128 : (t + 1) * 128][None]
+        kq = jax.lax.bitcast_convert_type(ssd, jnp.int32)
+        jloc = jax.lax.broadcasted_iota(jnp.int32, (R, 128, 128), 2)
+        key_scratch[:, :, t * 128 : (t + 1) * 128] = (
+            (kq & ~jmask) | (jloc + t * 128)
+        )
+    key = key_scratch[...]  # (R, 128, S)
+    fmin = jnp.min(key, axis=2)  # (R, 128): (quantized ssd, first j)
+    match = fmin & jmask
     match_ref[...] = match
-    best_ref[...] = best
+    best_ref[...] = jax.lax.bitcast_convert_type(fmin & ~jmask, jnp.float32)
     if with_second:
         # Runner-up outside +-second_excl of the winner (uniqueness test).
-        sec_ref = out_refs[2 + 2 * int(with_rev)]
-        near = jnp.abs(j - match[:, :, None]) <= second_excl
-        sec_ref[...] = jnp.min(jnp.where(near, jnp.float32(_BIG), ssd), axis=2)
+        sec_ref = out_refs[2 + int(with_rev)]
+        jall = key & jmask
+        near = jnp.abs(jall - match[:, :, None]) <= second_excl
+        sec = jnp.min(jnp.where(near, jnp.int32(2**30), key), axis=2)
+        sec_ref[...] = jax.lax.bitcast_convert_type(sec & ~jmask, jnp.float32)
     if with_rev:
-        rbest_ref, ridx_ref = out_refs[2], out_refs[3]
-        rbest = jnp.min(ssd, axis=1)  # (R, S): per-candidate best over queries
-        i = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S), 1)
-        ridx = jnp.where(ssd == rbest[:, None, :], i, jnp.int32(2**30))
-        ridx = jnp.min(ridx, axis=1).astype(jnp.int32)
-        rbest_ref[...] = rbest.reshape(R, NT, 128)
-        ridx_ref[...] = ridx.reshape(R, NT, 128)
+        rkey_ref = out_refs[2]
+        i = jax.lax.broadcasted_iota(jnp.int32, (R, 128, key.shape[2]), 1)
+        rkey = (key & ~jmask) | i  # (quantized ssd, query lane i)
+        rmin = jnp.min(rkey, axis=1)  # (R, S)
+        # (NT, R, 128) layout: NT leads so the BLOCK's trailing dims stay
+        # tile-aligned — a (R, NT, 128) block (NT=3 in the sublane position)
+        # was mis-read by consumers fused into the custom call's output
+        # under jit (lane-127 entries came back wrong; eager was fine).
+        rkey_ref[...] = rmin.reshape(R, NT, 128).transpose(1, 0, 2)
 
 
 def _split3(x: jax.Array):
@@ -181,10 +197,18 @@ def _split3(x: jax.Array):
     An earlier version used hi = round(x), whose exactness silently required
     |x| <= 256 — synthetic frames reach |x| ~ 470 after rendering, which
     corrupted SSDs by hundreds (the round-2 on-chip parity failure).
+
+    The optimization barriers are LOAD-BEARING: XLA:TPU's fusion machinery
+    cancels the f32 -> bf16 -> f32 round-trip when `hi` only feeds the
+    subtraction, which silently degrades the split to a single bf16 value
+    (hi = x, mid = lo = 0). Harmless-looking at image magnitudes (~0.6
+    absolute on a ~500-range image), it corrupted the v2 kernel's norm rows
+    (|qn| ~ 1e6) by thousands — found by the KITTI-size dense parity probe,
+    invisible to interpret-mode CPU tests (CPU XLA keeps the casts).
     """
-    hi = x.astype(jnp.bfloat16)
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
 
@@ -199,16 +223,39 @@ def _split_stacks(Q: jax.Array, C: jax.Array):
     return q72, c72
 
 
-def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
+def _split_stacks78(Q, C, qn, cn):
+    """(8,Hq,Wq)/(8,Hc,Wc) f32 pattern stacks + (H,W) squared norms ->
+    (78,·,·) bf16 K-stacks whose single contraction yields ssd * -0.5:
+
+        cross_ext = cross + (-0.5 qn) * 1 + 1 * (-0.5 cn)
+        =>  -2 * cross_ext = qn + cn - 2 cross = SSD.
+
+    Rows 72-74 carry -0.5*split3(qn) against ones; rows 75-77 carry ones
+    against -0.5*split3(cn). Each norm part is bf16-exact by construction
+    (split3 then exact *-0.5 exponent shift), so the norm terms keep the
+    same f32-class accuracy as the product rows — and BIG-valued norm pads
+    ride along as validity masks.
+    """
+    q72, c72 = _split_stacks(Q, C)
+    qnh, qnm, qnl = _split3(-0.5 * qn)
+    cnh, cnm, cnl = _split3(-0.5 * cn)
+    ones_q = jnp.ones((3,) + Q.shape[1:], jnp.bfloat16)
+    ones_c = jnp.ones((3,) + C.shape[1:], jnp.bfloat16)
+    q78 = jnp.concatenate([q72, jnp.stack([qnh, qnm, qnl]), ones_q], axis=0)
+    c78 = jnp.concatenate([c72, ones_c, jnp.stack([cnh, cnm, cnl])], axis=0)
+    return q78, c78
+
+
+def _band_pass(PL, PR, qn, cn, *, P, boundary, min_disparity, max_disparity,
                with_rev, with_second=False, second_excl=2, R=16):
-    """Single fused pass of the banded search. Q/C: (K, H, W) bf16 split
-    K-stacks (from :func:`_split_stacks`) of the left/right images; qn/cn the
-    f32 squared pattern norms. Returns (best, match[, rmatch]) as (H, W):
-    best/match the forward (per-left-pixel) winner, rmatch the per-right-pixel
-    reverse winner over the same in-band pair set (None unless `with_rev`)."""
+    """Single fused pass of the banded search. PL/PR: (8, H, W) f32 pattern
+    stacks of the left/right images; qn/cn the f32 squared pattern norms.
+    Returns (best, match[, rmatch], second) as (H, W): best/match the forward
+    (per-left-pixel) winner, rmatch the per-right-pixel reverse winner over
+    the same in-band pair set (None unless `with_rev`)."""
     import numpy as np
 
-    K, H, W = Q.shape
+    _, H, W = PL.shape
     Wp = -(-W // 128) * 128
     Hp = -(-H // R) * R
     NT = P // 128 + 1
@@ -217,16 +264,21 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
     # slab for query tile t covers xr in [128t - P, 128t + 128) = padded
     # tiles t..t+NT-1.
     cpad = (P, Wp - W)
-    Qp = jnp.pad(Q, ((0, 0), (0, Hp - H), (0, Wp - W))).transpose(1, 0, 2)
-    Cp = jnp.pad(C, ((0, 0), (0, Hp - H), cpad)).transpose(1, 0, 2)
-    # BIG-padded norms double as masks: padded queries lose reverse minima,
+    # BIG-valued norms double as masks (they ride the contraction's norm
+    # rows, _split_stacks78): padded queries lose reverse minima,
     # out-of-image and sub-boundary candidates lose forward minima
     # (xr >= boundary is the reference scan's lower bound,
     # depth_estimate.cpp:382).
-    qnp = jnp.pad(qn, ((0, Hp - H), (0, Wp - W)), constant_values=_BIG)[:, None, :]
+    qnp = jnp.pad(qn, ((0, Hp - H), (0, Wp - W)), constant_values=_BIG)
     xr_col = jnp.arange(W)[None, :]
     cn = jnp.where(xr_col < boundary, jnp.float32(_BIG), cn)
-    cnp = jnp.pad(cn, ((0, Hp - H), cpad), constant_values=_BIG)[:, None, :]
+    cnp = jnp.pad(cn, ((0, Hp - H), cpad), constant_values=_BIG)
+    PLp = jnp.pad(PL, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    PRp = jnp.pad(PR, ((0, 0), (0, Hp - H), cpad))
+    q78, c78 = _split_stacks78(PLp, PRp, qnp, cnp)
+    Qp = q78.transpose(1, 0, 2)  # (Hp, 78, Wp)
+    Cp = c78.transpose(1, 0, 2)  # (Hp, 78, Wp + P)
+    K = Qp.shape[1]
     # Static band mask over (query lane i, slab column j): d = i - j + P.
     ii = np.arange(128)[:, None]
     jj = np.arange(S)[None, :]
@@ -237,7 +289,7 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
     )
 
     grid = (Hp // R, Wp // 128)
-    kernel = functools.partial(_band_kernel, R=R, NT=NT, P=P, with_rev=with_rev,
+    kernel = functools.partial(_band_kernel, R=R, NT=NT, with_rev=with_rev,
                                with_second=with_second, second_excl=second_excl)
     cmaps = [lambda r, t, k=k: (r, 0, t + k) for k in range(NT)]
     out_specs = [
@@ -249,14 +301,10 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
         jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
     ]
     if with_rev:
-        out_specs += [
-            pl.BlockSpec((R, NT, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, NT, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
-        ]
-        out_shape += [
-            jax.ShapeDtypeStruct((Hp, NT, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, NT, Wp), jnp.int32),
-        ]
+        out_specs.append(
+            pl.BlockSpec((NT, R, 128), lambda r, t: (0, r, t), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((NT, Hp, Wp), jnp.int32))
     if with_second:
         out_specs.append(
             pl.BlockSpec((R, 128), lambda r, t: (r, t), memory_space=pltpu.VMEM)
@@ -268,14 +316,13 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
         in_specs=[
             pl.BlockSpec((R, K, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
             *[pl.BlockSpec((R, K, 128), m, memory_space=pltpu.VMEM) for m in cmaps],
-            pl.BlockSpec((R, 1, 128), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
-            *[pl.BlockSpec((R, 1, 128), m, memory_space=pltpu.VMEM) for m in cmaps],
             pl.BlockSpec((128, S), lambda r, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((R, 128, S), jnp.int32)],
         interpret=pallas_interpret(),
-    )(Qp, *([Cp] * NT), qnp, *([cnp] * NT), bm)
+    )(Qp, *([Cp] * NT), bm)
     best, match_j = outs[0], outs[1]
     second = outs[-1][:H, :W] if with_second else None
     # Forward winner: slab column j at query column x maps to
@@ -285,33 +332,35 @@ def _band_pass(Q, C, qn, cn, *, P, boundary, min_disparity, max_disparity,
     if not with_rev:
         return best[:H, :W], match[:H, :W], None, second
 
-    # Reverse combine. Step (r, t)'s partial k covers candidate tile
-    # (t - (NT-1) + k), stored at [row, k, 128t + jj]; so for candidate
-    # column xr the covering entries sit at [row, k, xr + 128*(NT-1-k)],
-    # with query pixels xs = 128*(xr//128 + NT-1-k) + i. Combine smallest-xs
-    # first (larger k), replacing only on strict improvement, to keep the
-    # reference's first-minimum tie rule.
-    rb_parts, ri_parts = outs[2], outs[3]
-    rbest = jnp.full((Hp, Wp), jnp.float32(_BIG * 4))
+    # Reverse combine over the packed partials. Step (r, t)'s partial k
+    # covers candidate tile (t - (NT-1) + k), stored at [row, k, 128t + jj];
+    # so for candidate column xr the covering entries sit at
+    # [row, k, xr + 128*(NT-1-k)], with query pixels
+    # xs = 128*(xr//128 + NT-1-k) + i. Combine smallest-xs first (larger k),
+    # replacing only on strict improvement OF THE SSD BITS (the packed i
+    # bits are stripped for the comparison — parts differ in xs base, so an
+    # i-bit comparison would corrupt the first-minimum tie rule).
+    imask = 2**_IBITS - 1
+    sep_bits = int(np.float32(_BIG * 0.5).view(np.int32))
+    int_pad = 2**31 - 2**20  # > any packed key incl. BIG-masked ones
+    rk_parts = outs[2]  # (NT, Hp, Wp) packed (quantized ssd | i)
+    rbest_q = jnp.full((Hp, Wp), int_pad, jnp.int32)
     rmatch = jnp.zeros((Hp, Wp), jnp.int32)
     pad_cols = 128 * (NT - 1)
-    rb_pad = jnp.pad(rb_parts, ((0, 0), (0, 0), (0, pad_cols)),
-                     constant_values=_BIG * 4)
-    ri_pad = jnp.pad(ri_parts, ((0, 0), (0, 0), (0, pad_cols)))
+    rk_pad = jnp.pad(rk_parts, ((0, 0), (0, 0), (0, pad_cols)),
+                     constant_values=int_pad)
     for k in range(NT - 1, -1, -1):
         shift = 128 * (NT - 1 - k)
-        bk = jax.lax.dynamic_slice_in_dim(rb_pad[:, k], shift, Wp, axis=1)
-        ik = jax.lax.dynamic_slice_in_dim(ri_pad[:, k], shift, Wp, axis=1)
-        xs_k = (xcol // 128) * 128 + shift + ik
+        bk = jax.lax.dynamic_slice_in_dim(rk_pad[k], shift, Wp, axis=1)
+        bq = bk & ~jnp.int32(imask)
+        xs_k = (xcol // 128) * 128 + shift + (bk & imask)
         # Keep rmatch=0 for candidate columns with no unmasked pair, matching
         # the XLA backend's contract (its fully-masked columns argmin to 0):
-        # masked partials sit near k*_BIG (k>=1) plus a real-valued qn-2*cross
-        # term bounded by ~4e6 at image range ~500, while genuine SSDs are
-        # <= 8*(2*max|I|)^2 ~ 8e6 << _BIG/2 — so _BIG/2 cleanly separates.
-        # Such columns can never be reached via a matched forward winner, but
-        # the cross-backend rmatch values must agree for future consumers.
-        take = (bk < rbest) & (bk < jnp.float32(_BIG * 0.5))
-        rbest = jnp.where(take, bk, rbest)
+        # masked partials carry >= ~1e10 - 1e7 in their ssd bits while
+        # genuine SSDs are <= 8*(2*max|I|)^2 ~ 8e6 << _BIG/2 — so the bit
+        # pattern of _BIG/2 cleanly separates (positive-float bit order).
+        take = (bq < rbest_q) & (bq < sep_bits)
+        rbest_q = jnp.where(take, bq, rbest_q)
         rmatch = jnp.where(take, xs_k, rmatch)
     return best[:H, :W], match[:H, :W], rmatch[:H, :W], second
 
@@ -338,9 +387,8 @@ def disparity_band_pallas(
     +-second_excl of the winner (1e10 fill when second_best=False)."""
     min_d = 1 if min_disparity is None else max(1, min_disparity)
     P = -(-max_disparity // 128) * 128
-    qf, cf = _split_stacks(PL, PR)
     best, match, rmatch, second = _band_pass(
-        qf, cf, ln, rn, P=P, boundary=boundary,
+        PL, PR, ln, rn, P=P, boundary=boundary,
         max_disparity=max_disparity, min_disparity=min_d, with_rev=lr,
         with_second=second_best, second_excl=second_excl,
     )

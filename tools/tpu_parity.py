@@ -78,9 +78,17 @@ def _compare_disparity(ls, rs, *, max_disp, lr_check, label, results):
         th_ok = bool((near_th < SSD_TIE_TOL).all())
     else:
         th_ok = True
-    ok = (tie_ok and th_ok
-          and int(flips.sum()) + match_diff <= max(2, int(MAX_FLIP_FRACTION * n))
-          and (ds.size == 0 or ds.max() < SSD_TIE_TOL))
+    # Value-band bound for agreeing winners: the banded kernel's 9-bit index
+    # packing truncates the SSD's low 9 mantissa bits (<= 512 ulp of the
+    # value, kernels/disparity_pallas._JBITS) on top of the bf16-split's
+    # absolute band — scale the tolerance with the SSD magnitude.
+    if ds.size:
+        ssd_mag = np.abs(np.asarray(rx.best_ssd))[both]
+        val_ok = bool((ds <= SSD_TIE_TOL + ssd_mag * (512 * 2.0**-23)).all())
+    else:
+        val_ok = True
+    ok = (tie_ok and th_ok and val_ok
+          and int(flips.sum()) + match_diff <= max(2, int(MAX_FLIP_FRACTION * n)))
     results.append((label, ok,
                     f"matched_diff={match_diff} flips={int(flips.sum())} "
                     f"max|dd|={dd.max() if dd.size else 0:.1f} "
