@@ -124,7 +124,42 @@ def case_full(results, sizes=((48, 256), (64, 640))):
     return ok
 
 
-CASES = {"band": case_band, "full": case_full}
+def case_dense(results, sizes=((376, 1241, 192, 7), (376, 1241, 192, 0))):
+    """EVERY-pixel winner-map comparison at KITTI size (not just selected
+    pixels). This is the probe that caught both round-5 XLA:TPU
+    miscompilations (the _split3 cast-cancellation and the (Hp, NT, Wp)
+    custom-call output mis-read) — selected-pixel parity sampled right past
+    them on its fixture scenes. Budget: winner flips are near-tie-bounded
+    (<= 1% of pixels), reverse winners likewise."""
+    from odometry_tpu.kernels.disparity import disparity_winner_maps
+
+    ok = True
+    for H, W, D, seed in sizes:
+        ls, rs = _stereo(H, W, seed)
+        kw = dict(boundary=4, max_disparity=D, lr_check=True)
+        bx, mx, rx, _ = jax.jit(
+            lambda l, r: disparity_winner_maps(l, r, backend="xla", **kw))(ls, rs)
+        bp, mp, rp, _ = jax.jit(
+            lambda l, r: disparity_winner_maps(l, r, backend="pallas", **kw))(ls, rs)
+        interior = np.zeros((H, W), bool)
+        interior[4 : H - 4, D + 8 : W - 4] = True
+        n = int(interior.sum())
+        mdiff = int(((np.asarray(mx) != np.asarray(mp)) & interior).sum())
+        rdiff = int(((np.asarray(rx) != np.asarray(rp)) & interior).sum())
+        ds = np.abs(np.asarray(bx) - np.asarray(bp))[interior]
+        ssd_mag = np.abs(np.asarray(bx))[interior]
+        # Base 1.0 (the unit tests' atol): dense coverage samples the full
+        # tail of the bf16-split error distribution, not just selected px.
+        val_ok = bool((ds <= 1.0 + ssd_mag * (512 * 2.0**-23)).all())
+        case_ok = (mdiff <= 0.01 * n) and (rdiff <= 0.01 * n) and val_ok
+        ok &= case_ok
+        results.append((f"dense H{H} W{W} D{D} s{seed}", case_ok,
+                        f"match_diff={mdiff} rmatch_diff={rdiff} "
+                        f"max|dssd|={ds.max():.2f} n={n}"))
+    return ok
+
+
+CASES = {"band": case_band, "full": case_full, "dense": case_dense}
 
 
 def main(argv=None):
