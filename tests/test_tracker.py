@@ -211,3 +211,30 @@ def test_tracker_affine_light_exposure_drift():
     # Clean frames: affine fit is a no-op to sub-mm.
     t_clean, _ = _pose_err(_track(img_kf, inv_dep, img_cur, al).T, T_true)
     assert t_clean < 0.005, t_clean
+
+
+def test_tracker_affine_light_points_engine():
+    """affine_light through the production (points-engine, mm-sampler-free
+    bilinear) path: exposure-drifted frame recovers; clean frame unaffected."""
+    from odometry_tpu.tracking.tracker import prepare_keyframe, solve_pose_points
+
+    twist = [0.15, -0.05, 0.4, 0.005, -0.008, 0.004]
+    img_kf, inv_dep, img_cur, T_true = _make_pair(twist)
+    corrupted = 0.94 * img_cur - 7.0  # under-exposure drift
+
+    def run(img, al):
+        cfg = TrackerConfig(interp="bilinear", engine="points",
+                            depth_decimation="even", affine_light=al)
+        pyr_kf = gaussian_image_pyramid(img_kf, cfg.num_levels, smooth=True)
+        pyr_cur = gaussian_image_pyramid(img, cfg.num_levels, smooth=True)
+        dpyr = depth_pyramid(inv_dep, cfg.num_levels, smooth=False)
+        kfl = prepare_keyframe(pyr_kf, dpyr, cfg)
+        return solve_pose_points(kfl, pyr_cur, CAM, cfg)
+
+    t_raw, _ = _pose_err(run(corrupted, False).T, T_true)
+    res_al = run(corrupted, True)
+    t_al, _ = _pose_err(res_al.T, T_true)
+    assert bool(res_al.ok)
+    assert t_al < 0.01 and t_al < 0.5 * t_raw, (t_raw, t_al)
+    t_clean, _ = _pose_err(run(img_cur, True).T, T_true)
+    assert t_clean < 0.005, t_clean
