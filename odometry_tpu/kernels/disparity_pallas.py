@@ -2,21 +2,28 @@
 
 The XLA path (kernels/disparity.py) materializes per-row-chunk cost volumes
 to HBM (H*W*W floats stream out and back for the argmin) and is
-bandwidth-bound. These kernels keep each row's cost matrix in VMEM: one
-(8, W)^T @ (8, W) MXU contraction per row, masked, reduced to the per-pixel
-best SSD + first-minimum index without ever leaving the chip.
+bandwidth-bound. These kernels keep the cost slab in VMEM and reduce it to
+per-pixel winners without ever leaving the chip.
 
 Two variants:
 
-* :func:`disparity_cost_argmin_pallas` — full-search cost matrix (Wp, Wp) per
-  row, grid over row blocks (ROWS_PER_STEP rows per grid step; one grid step
-  per row was measured 6x slower from grid overhead + repeated HBM loads).
-* (banded fast path lives in the same kernel via masking; a finite
-  max_disparity only changes the mask, not the compute shape.)
+* :func:`disparity_band_pallas` — the PRODUCTION banded kernel (v2): scores
+  only the [min_disparity, max_disparity] band as (128-query, S=P+128) MXU
+  tiles. Squared-norm terms ride the contraction as extra K rows (K=78) so
+  the masked SSD is one fused multiply-add, and forward/reverse winners come
+  from single integer min-reductions over index-packed keys (low SSD
+  mantissa bits replaced by the candidate index — see _JBITS/_IBITS).
+  Measured 2.2x over the v1 mask/argmin-pass design; the in-graph custom
+  call runs ~0.6 ms per KITTI depth run (PERF.md).
+* :func:`disparity_cost_argmin_pallas` — full-search cost matrix (Wp, Wp)
+  per row for unbounded searches, grid over row blocks (ROWS_PER_STEP rows
+  per step; one grid step per row was measured 6x slower from grid overhead
+  + repeated HBM loads).
 
 First-minimum tie-breaking matches the reference scan (strict `<` update,
 ``depth_estimate.cpp:385``): the index reduction takes the smallest candidate
-column achieving the minimum.
+column achieving the minimum — in the banded kernel this falls out of the
+packed key's low bits comparing ascending.
 """
 
 from __future__ import annotations
